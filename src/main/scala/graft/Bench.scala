@@ -1,24 +1,89 @@
 package graft
+
+import graft.corpus.CodeCorpus
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.query.Searcher
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark (driver contract): runs the relational operator suite
+  * on SPARK_GRAFT_SF_DIR plus the engine headline — synthetic-corpus index
+  * build (docs/sec) and BM25 top-k query latency — and prints ONE JSON line.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  def newSession(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Corpus size scaled to the testdata SF so bench cost tracks the round. */
+  def corpusDocs(sfDir: String): Long =
+    sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toLong).getOrElse {
+      if (sfDir.contains("0.1")) 50000L
+      else if (sfDir.contains("0.01")) 5000L
+      else 1000L
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+  def time[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  val BenchQueries: Seq[String] = Seq(
+    "buffer", // head term
+    "parse merge", "binary search tree implementation",
+    "sort scan hash index query score", "red black tree rotation",
+    "readwriter42 codec", "def class import return val var match case")
+
+  /** Build + query benchmark on a fresh session; returns metric map. */
+  def engineBench(spark: SparkSession, nDocs: Long): Map[String, Double] = {
+    val cores = spark.sparkContext.defaultParallelism
+    val out = java.nio.file.Files.createTempDirectory(s"graftbench$cores").toString
+    val docs = CodeCorpus.generate(spark, nDocs, nRepos = 100, partitions = cores * 2)
+    val (_, tBuild) = time {
+      IndexBuilder.build(spark, docs, out,
+        IndexConfig(buckets = 64, saltRange = 1L << 16, shufflePartitions = cores))
+    }
+    val searcher = new Searcher(spark, out)
+    // warm-up once (JIT + parquet footers), then measure per-query latency
+    searcher.search(BenchQueries.head, 10)
+    val lats = BenchQueries.map { q => time(searcher.search(q, 10))._2 }
+    val sorted = lats.sorted
+    val p50 = sorted(sorted.length / 2)
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(out)).deleteRecursively()
+    Map(
+      "ix_build_sec" -> tBuild,
+      "ix_build_docs_per_sec" -> nDocs / tBuild,
+      "ix_query_p50_ms" -> p50 * 1000,
+      "ix_query_max_ms" -> sorted.last * 1000)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = newSession(cpus)
+
+    val relational = RelationalQueries.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t = try time(fn(spark, sfDir).count())._2 catch { case _: Throwable => -1.0 }
+      name -> t
+    }
+    val engine = engineBench(spark, corpusDocs(sfDir))
+
+    val all = relational ++ engine.toSeq
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = relational.map(_._2).filter(_ > 0).sum + engine("ix_build_sec")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import graft.oracle.ExactScorer
+import graft.query.Searcher
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine-native operators (inverted index build + BM25 WAND retrieval) run
+  * against the driver's `documents` table. Not ANSI-SQL-expressible (ICU
+  * analysis chain, SmallFloat norms, edismax mm/tie), so these get the
+  * driver's rows-only check; exactness is enforced by EngineSpec's
+  * rank-identity gate against the in-JVM oracle instead.
+  */
+object EngineQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q2/Q5/T4: edismax BM25 top-k over (content, path, repo)
+    "ix_search_topk" -> ((s, dir) => {
+      val idx = SparkEntry.indexFor(s, dir)
+      new Searcher(s, idx).searchDF("data table merge", 10)
+    }),
+
+    // Q3: six-term query exercising the mm=6<90% tier
+    "ix_search_multiterm" -> ((s, dir) => {
+      val idx = SparkEntry.indexFor(s, dir)
+      new Searcher(s, idx).searchDF("data table merge sort join filter", 10)
+    }),
+
+    // P6-style field-scoped search (title_qf/author_qf analog)
+    "ix_search_fielded" -> ((s, dir) => {
+      val idx = SparkEntry.indexFor(s, dir)
+      new Searcher(s, idx).searchDF("src1", 5, fields = Seq("repo"))
+    }),
+
+    // A9 corpus statistics: dictionary head (df/cf per term)
+    "ix_dictionary_top" -> ((s, dir) => {
+      val idx = SparkEntry.indexFor(s, dir)
+      s.read.parquet(s"$idx/dictionary")
+        .filter(col("field") === "content")
+        .orderBy(col("df").desc, col("term"))
+        .limit(25)
+    }),
+
+    // ST2/north rule: per-partition lineage metrics of the build
+    "ix_lineage" -> ((s, dir) => {
+      val idx = SparkEntry.indexFor(s, dir)
+      s.read.parquet(s"$idx/lineage").orderBy(col("partitionId"))
+    }),
+
+    // per-row sha256 integrity: docstats vs source (north-rule invariant);
+    // single summary row: total docs, matching shas
+    "ix_integrity" -> ((s, dir) => {
+      val idx = SparkEntry.indexFor(s, dir)
+      val stats = s.read.parquet(s"$idx/docstats").select(col("sha")).distinct()
+      val src = SparkEntry.documentsAsCode(s, dir)
+        .select(sha2(col("content"), 256).as("sha")).distinct()
+      src.agg(count(lit(1)).as("n_src_shas"))
+        .crossJoin(src.intersect(stats).agg(count(lit(1)).as("n_common_shas")))
+    }),
+
+    // engine-vs-oracle agreement, surfaced as data (self-check the driver can
+    // see): per query, top-1 docId from both paths and whether full top-10
+    // (ids AND scores) agree
+    "ix_oracle_agreement" -> ((s, dir) => {
+      import s.implicits._
+      val idx = SparkEntry.indexFor(s, dir)
+      val searcher = new Searcher(s, idx)
+      val docs = SparkEntry.documentsAsCode(s, dir).collect()
+      val byKey = s.read.parquet(s"$idx/docstats")
+        .select("docId", "repo", "path").as[(Long, String, String)].collect()
+        .map { case (id, r, p) => (r, p) -> id }.toMap
+      val oracleDocs = docs.map { d =>
+        ExactScorer.OracleDoc(byKey((d.repo, d.path)),
+          Map("content" -> d.content, "path" -> d.path, "repo" -> d.repo))
+      }.toSeq
+      val qs = Seq("data table merge", "group query row", "spark window stream",
+        "data table merge sort join filter", "src3")
+      val rows = qs.map { q =>
+        val e = searcher.search(q, 10).toSeq
+        val o = ExactScorer.topK(oracleDocs, q, 10).toSeq
+        (q, e.headOption.map(_.docId).getOrElse(-1L),
+          o.headOption.map(_.docId).getOrElse(-1L), e == o)
+      }
+      rows.toDF("query", "engine_top1", "oracle_top1", "rank_identical")
+        .orderBy(col("query"))
+    })
+  )
+}

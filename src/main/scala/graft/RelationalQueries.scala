@@ -1,0 +1,580 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SQL-checkable operator battery over the driver's testdata tables.
+  *
+  * Each entry maps one operator family from SURVEY.md §2 (reference file:line
+  * in the comment) onto Spark, with a DuckDB oracle in [[oracleSql]] producing
+  * identical column names, values, and ordering. Floating-point aggregates are
+  * rounded in BOTH systems so cross-engine summation-order differences can't
+  * flip a hash. Every query has a deterministic ORDER BY.
+  */
+object RelationalQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1/A2 facet + hit counts (importer.py:502-517, solrconfig.xml:129-130)
+    "q_facet_count" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("event_type"))
+    }),
+
+    // TPC-H Q1-shaped pricing summary: hash aggregate w/ partial+final (A1)
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // J1 broadcast hash join: title-lookup shape (importer.py:404-430)
+    "q_join_broadcast" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // J3 multi-way denormalizing join (sinai_json_importer.py:265-310)
+    "q_multiway_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // S4 realtime-get / semi join (importer.py:172-179)
+    "q_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 20000)
+          .select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // K4 delete-by-query / anti join (importer.py:147-213)
+    "q_anti_join" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // S1 last-row-wins keyed scan (importer.py:95-102 dict overwrite)
+    "q_last_wins" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .select("user_id", "event_id", "event_type", "ts")
+        .orderBy(col("user_id"))
+    }),
+
+    // T4 top-k by score-like key (solrconfig.xml:79-143 rows/sort)
+    "q_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // T3 pagination: start/rows windows (importer.py:223-253)
+    "q_pagination" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(20).limit(20)
+    }),
+
+    // §2.6 heterogeneous unionByName (importer.py:107-111)
+    "q_union_byname" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_name").as("name"), lit("part").as("kind"),
+          col("p_retailprice").as("price"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_name").as("name"), lit("supplier").as("kind"))
+      p.unionByName(sup, allowMissingColumns = true)
+        .orderBy(col("kind"), col("name"), coalesce(col("price"), lit(0.0)))
+    }),
+
+    // F5 make_ursus_id: drop ark:/, / -> -, reverse (util.py:214-237)
+    "q_make_ursus_id" -> ((s, dir) => {
+      t(s, dir, "part")
+        .withColumn("ark", concat(lit("ark:/21198/z1"), col("p_partkey")))
+        .select(col("p_partkey"),
+          reverse(translate(regexp_replace(col("ark"), "^ark:/", ""), "/", "-"))
+            .as("ursus_id"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // F1 parse_marc: strip ` $x ` subfield markers (util.py:60-91)
+    "q_parse_marc" -> ((s, dir) => {
+      t(s, dir, "part")
+        .withColumn("marc", concat(lit("$a "), col("p_name"), lit(" $b trailing $c")))
+        .select(col("p_partkey"),
+          trim(regexp_replace(regexp_replace(regexp_replace(
+            col("marc"), " \\$[a-z] ", " "), "^\\$[a-z] ", ""), " \\$[a-z]$", ""))
+            .as("parsed"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // F2 parse_list: split |~| multivalue cells (util.py:112-156)
+    "q_parse_list" -> ((s, dir) => {
+      t(s, dir, "part")
+        .withColumn("cell", concat_ws("|~|", col("p_brand"), col("p_type"), col("p_brand")))
+        .select(col("p_partkey"), posexplode(split(col("cell"), "\\|~\\|")))
+        .withColumnRenamed("col", "element")
+        .orderBy(col("p_partkey"), col("pos"))
+    }),
+
+    // F4 ensure_ark_prefix (util.py:172-206)
+    "q_ensure_ark" -> ((s, dir) => {
+      t(s, dir, "part")
+        .withColumn("raw",
+          when(col("p_partkey") % 2 === 0, concat(lit("21198/z1"), col("p_partkey")))
+            .otherwise(concat(lit("ark:/21198/z1"), col("p_partkey"))))
+        .select(col("p_partkey"),
+          when(!col("raw").rlike("^ark:/") && col("raw").rlike("^[0-9]+/[a-z0-9]+$"),
+            concat(lit("ark:/"), col("raw"))).otherwise(col("raw")).as("ark"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // A7 integer year-range expansion (year_parser.py:12-35)
+    "q_year_expand" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          explode(sequence(year(col("o_orderdate")), year(col("o_orderdate")) + 2)).as("y"))
+        .distinct()
+        .orderBy(col("o_orderpriority"), col("y"))
+    }),
+
+    // F9 visibility decision table (ursus_solr_record.py:271-327)
+    "q_visibility" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("visibility",
+          when(col("event_type") === "click", "open")
+            .when(col("event_type") === "view" && col("value") > 50, "authenticated")
+            .when(col("event_type") === "purchase", "sinai")
+            .otherwise("discovery"))
+        .groupBy(col("visibility")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("visibility"))
+    }),
+
+    // F17 HTML link builder (importer.py:376-382)
+    "q_html_link" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          format_string("<a href='/catalog/ark-%s'>%s</a>",
+            col("p_partkey"), col("p_name")).as("link"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // X7 PathHierarchyTokenizer (schema.xml:168-185)
+    "q_path_hierarchy" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("parts",
+          split(concat(lit("src/"), col("lang"), lit("/"), col("source"),
+            lit("/f"), col("doc_id")), "/"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("parts"))),
+            n => array_join(slice(col("parts"), lit(1), n), "/"))))
+        .withColumnRenamed("col", "prefix")
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // T2 alphaNumericSort collation key — the schema's own 3-step regex chain
+    // (schema.xml:133-149)
+    "q_alphanum_sortkey" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          regexp_replace(regexp_replace(regexp_replace(lower(col("p_name")),
+            "(\\d+)", "00000$1"), "0*([0-9]{6,})", "$1"), "[^a-z0-9]", "")
+            .as("sort_key"))
+        .orderBy(col("sort_key"), col("p_partkey"))
+    }),
+
+    // J2 positional zip join (importer.py:376-382, ursus_solr_record.py:803-812)
+    "q_arrays_zip" -> ((s, dir) => {
+      t(s, dir, "part")
+        .withColumn("words", split(lower(col("p_name")), " "))
+        .select(col("p_partkey"),
+          posexplode(zip_with(col("words"),
+            transform(col("words"), w => length(w)),
+            (w, l) => concat(w, lit(":"), l))))
+        .withColumnRenamed("col", "pair")
+        .orderBy(col("p_partkey"), col("pos"))
+    }),
+
+    // modern: windowed running aggregate over event streams
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w), 4).as("running"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ---- training-data pipeline ops over `documents` ----
+
+    // token counting (whitespace tokenizer)
+    "q_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // quality scoring: length/alpha/punct ratios
+    "q_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+        .withColumn("alpha", length(regexp_replace(col("text"), "[^a-zA-Z]", "")))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("alpha").cast("double") / (length(col("text")) + 1), 4).as("alpha_ratio"),
+          (col("n_tokens") >= 10 && col("n_tokens") <= 10000 &&
+            col("alpha") * 2 > length(col("text"))).as("is_quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // language-ID: stopword-overlap heuristic
+    "q_langid" -> ((s, dir) => {
+      val words = split(lower(col("text")), "\\s+")
+      val en = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+      val es = array(Seq("el", "la", "de", "y", "que").map(lit): _*)
+      val de = array(Seq("der", "die", "das", "und", "ist").map(lit): _*)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(array_intersect(words, en)).as("s_en"),
+          size(array_intersect(words, es)).as("s_es"),
+          size(array_intersect(words, de)).as("s_de"))
+        .withColumn("predicted",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+            .when(col("s_es") >= col("s_de"), "es").otherwise("de"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // document fingerprint: canonicalized md5
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact dedup on a prefix fingerprint (first 5 tokens) — hash-groupBy dedup
+    "q_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("fp5",
+          md5(concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 5))))
+        .groupBy(col("fp5"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep"))
+        .orderBy(col("fp5"))
+    }),
+
+    // n-gram (3-shingle) Jaccard near-dup pairs
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .withColumn("w", split(lower(trim(col("text"))), "\\s+"))
+        .withColumn("sh", array_distinct(
+          when(size(col("w")) >= 3,
+            transform(sequence(lit(1), size(col("w")) - 2),
+              i => concat_ws(" ", element_at(col("w"), i),
+                element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+            .otherwise(array())))
+        .select(col("doc_id"), col("sh"))
+      val a = docs.select(col("doc_id").as("a"), col("sh").as("sha_"))
+      val b = docs.select(col("doc_id").as("b"), col("sh").as("shb_"))
+      a.crossJoin(b).filter(col("a") < col("b"))
+        .withColumn("inter", size(array_intersect(col("sha_"), col("shb_"))))
+        .filter(col("inter") > 0)
+        .select(col("a"), col("b"),
+          round(col("inter").cast("double") /
+            size(array_distinct(concat(col("sha_"), col("shb_")))), 4).as("jac"))
+        .orderBy(col("jac").desc, col("a"), col("b"))
+        .limit(100)
+    }),
+
+    // MinHash + LSH banding: per-doc band signatures, then candidate pairs
+    "q_minhash_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
+        .withColumn("w", split(lower(trim(col("text"))), "\\s+"))
+        .withColumn("sh", array_distinct(
+          when(size(col("w")) >= 3,
+            transform(sequence(lit(1), size(col("w")) - 2),
+              i => concat_ws(" ", element_at(col("w"), i),
+                element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+            .otherwise(array())))
+        .filter(size(col("sh")) > 0)
+        .withColumn("bands", transform(sequence(lit(0), lit(7)),
+          bnd => struct(bnd.as("band"),
+            array_min(transform(col("sh"),
+              sh => md5(concat(bnd.cast("string"), lit(":"), sh)))).as("sig"))))
+        .select(col("doc_id"), explode(col("bands")).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val l = docs.select(col("doc_id").as("a"), col("band"), col("sig"))
+      val r = docs.select(col("doc_id").as("b"), col("band"), col("sig"))
+      l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared_bands"))
+        .orderBy(col("shared_bands").desc, col("a"), col("b"))
+    }),
+
+    // brute-force cosine top-k over embeddings (ANN baseline)
+    "q_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"))
+      def dot(x: Column, y: Column): Column =
+        aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+      emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(dot(col("v"), col("qv")) /
+            (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))), 4)
+            .as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_facet_count" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_base_price,
+        |round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+        |count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_multiway_join" ->
+      """SELECT r_name, n_name,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_cust FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 20000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_last_wins" ->
+      """SELECT user_id, event_id, event_type, ts FROM events
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_pagination" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 20""".stripMargin,
+
+    "q_union_byname" ->
+      """SELECT * FROM (
+        |  SELECT p_name AS name, 'part' AS kind, p_retailprice AS price FROM part
+        |  UNION ALL
+        |  SELECT s_name AS name, 'supplier' AS kind, NULL AS price FROM supplier
+        |) ORDER BY kind, name, coalesce(price, 0.0)""".stripMargin,
+
+    "q_make_ursus_id" ->
+      """SELECT p_partkey, reverse(translate(regexp_replace(
+        |  'ark:/21198/z1' || p_partkey, '^ark:/', ''), '/', '-')) AS ursus_id
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_parse_marc" ->
+      """SELECT p_partkey, trim(regexp_replace(regexp_replace(regexp_replace(
+        |  '$a ' || p_name || ' $b trailing $c',
+        |  ' \$[a-z] ', ' ', 'g'), '^\$[a-z] ', ''), ' \$[a-z]$', '')) AS parsed
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_parse_list" ->
+      """SELECT p_partkey,
+        |  unnest(generate_series(0, len(l) - 1)) AS pos,
+        |  unnest(l) AS element
+        |FROM (SELECT p_partkey,
+        |  string_split(p_brand || '|~|' || p_type || '|~|' || p_brand, '|~|') AS l
+        |  FROM part)
+        |ORDER BY p_partkey, pos""".stripMargin,
+
+    "q_ensure_ark" ->
+      """SELECT p_partkey, CASE
+        |  WHEN NOT regexp_matches(raw, '^ark:/')
+        |       AND regexp_matches(raw, '^[0-9]+/[a-z0-9]+$')
+        |  THEN 'ark:/' || raw ELSE raw END AS ark
+        |FROM (SELECT p_partkey, CASE WHEN p_partkey % 2 = 0
+        |  THEN '21198/z1' || p_partkey ELSE 'ark:/21198/z1' || p_partkey END AS raw
+        |  FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_year_expand" ->
+      """SELECT DISTINCT o_orderpriority,
+        |  unnest(generate_series(year(o_orderdate), year(o_orderdate) + 2)) AS y
+        |FROM orders ORDER BY o_orderpriority, y""".stripMargin,
+
+    "q_visibility" ->
+      """SELECT CASE WHEN event_type = 'click' THEN 'open'
+        |  WHEN event_type = 'view' AND value > 50 THEN 'authenticated'
+        |  WHEN event_type = 'purchase' THEN 'sinai'
+        |  ELSE 'discovery' END AS visibility, count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY visibility""".stripMargin,
+
+    "q_html_link" ->
+      """SELECT p_partkey,
+        |  printf('<a href=''/catalog/ark-%s''>%s</a>', p_partkey::varchar, p_name) AS link
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_path_hierarchy" ->
+      """SELECT doc_id, unnest(generate_series(0, len(parts) - 1)) AS pos,
+        |  unnest(list_transform(generate_series(1, len(parts)),
+        |    n -> array_to_string(parts[1:n], '/'))) AS prefix
+        |FROM (SELECT doc_id,
+        |  string_split('src/' || lang || '/' || source || '/f' || doc_id, '/') AS parts
+        |  FROM documents)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q_alphanum_sortkey" ->
+      """SELECT p_partkey, regexp_replace(regexp_replace(regexp_replace(
+        |  lower(p_name), '(\d+)', '00000\1', 'g'),
+        |  '0*([0-9]{6,})', '\1', 'g'), '[^a-z0-9]', '', 'g') AS sort_key
+        |FROM part ORDER BY sort_key, p_partkey""".stripMargin,
+
+    "q_arrays_zip" ->
+      """SELECT p_partkey, unnest(generate_series(0, len(w) - 1)) AS pos,
+        |  unnest(list_transform(w, x -> x || ':' || length(x)::varchar)) AS pair
+        |FROM (SELECT p_partkey, string_split(lower(p_name), ' ') AS w FROM part)
+        |ORDER BY p_partkey, pos""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT user_id, event_id, round(sum(value) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+        |FROM events WHERE user_id < 50
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(string_split_regex(trim(text), '\s+'))) AS sum_tokens,
+        |  round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_quality" ->
+      """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+        |    / (length(text) + 1), 4) AS alpha_ratio,
+        |  (len(string_split_regex(trim(text), '\s+')) BETWEEN 10 AND 10000
+        |   AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 2 > length(text))
+        |    AS is_quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_langid" ->
+      """SELECT doc_id, s_en, s_es, s_de, CASE
+        |  WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+        |  WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted
+        |FROM (SELECT doc_id,
+        |  len(list_intersect(string_split_regex(lower(text), '\s+'),
+        |      ['the','a','of','and','to'])) AS s_en,
+        |  len(list_intersect(string_split_regex(lower(text), '\s+'),
+        |      ['el','la','de','y','que'])) AS s_es,
+        |  len(list_intersect(string_split_regex(lower(text), '\s+'),
+        |      ['der','die','das','und','ist'])) AS s_de
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT fp5, count(*) AS n, min(doc_id) AS rep FROM (
+        |  SELECT doc_id, md5(array_to_string(
+        |    (string_split_regex(lower(trim(text)), '\s+'))[1:5], ' ')) AS fp5
+        |  FROM documents)
+        |GROUP BY fp5 ORDER BY fp5""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+        |    WHERE doc_id < 40),
+        |s AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END) AS sh FROM w)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  round(len(list_intersect(a.sh, b.sh)) * 1.0
+        |    / len(list_distinct(a.sh || b.sh)), 4) AS jac
+        |FROM s a, s b
+        |WHERE a.doc_id < b.doc_id AND len(list_intersect(a.sh, b.sh)) > 0
+        |ORDER BY jac DESC, a, b LIMIT 100""".stripMargin,
+
+    "q_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+        |    WHERE doc_id < 60),
+        |s AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END) AS sh FROM w),
+        |sigs AS (SELECT doc_id,
+        |    unnest(generate_series(0, 7)) AS band,
+        |    unnest(list_transform(generate_series(0, 7),
+        |      b -> list_min(list_transform(sh, x -> md5(b::varchar || ':' || x))))) AS sig
+        |  FROM s WHERE len(sh) > 0)
+        |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared_bands
+        |FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
+        |WHERE l.doc_id < r.doc_id
+        |GROUP BY a, b ORDER BY shared_bands DESC, a, b""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id, round(list_dot_product(v, qv)
+        |  / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos
+        |FROM e, q WHERE vec_id <> 0
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  )
+}

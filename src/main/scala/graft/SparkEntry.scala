@@ -1,13 +1,61 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.CodeDoc
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.query.Searcher
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — flagship entry + one `queries` entry per implemented
+  * operator (SURVEY.md §2), each with DuckDB-matching `oracleSql` where the
+  * semantics are ANSI-SQL-expressible (non-SQL ops get rows-only checks).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** The driver's `documents` table re-shaped to the engine's input contract
+    * (repo, path, commit, lang, content) — BASELINE.json input_hint.
+    */
+  def documentsAsCode(spark: SparkSession, dir: String): Dataset[CodeDoc] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        col("source").as("repo"),
+        concat(lit("docs/"), col("lang"), lit("/doc_"), col("doc_id"), lit(".txt")).as("path"),
+        format_string("%012x", col("doc_id")).as("commit"),
+        col("lang"),
+        col("text").as("content"))
+      .as[CodeDoc]
+  }
+
+  /** Build (once per sfDir per JVM) an index over the documents table. */
+  def indexFor(spark: SparkSession, sfDir: String): String = IndexCache.synchronized {
+    IndexCache.dirs.getOrElseUpdate(sfDir, {
+      val h = Integer.toHexString(sfDir.hashCode)
+      val out = s"/tmp/graft_index_$h"
+      // rebuild from scratch each JVM run: stale _build markers would skip stages
+      val dir = new java.io.File(out)
+      if (dir.exists()) { import scala.reflect.io.Directory; new Directory(dir).deleteRecursively() }
+      IndexBuilder.build(spark, documentsAsCode(spark, sfDir), out,
+        IndexConfig(buckets = 32, saltRange = 1L << 14,
+          shufflePartitions = spark.sparkContext.defaultParallelism))
+      out
+    })
+  }
+
+  private object IndexCache {
+    val dirs: scala.collection.mutable.Map[String, String] = scala.collection.mutable.Map()
+  }
+
+  /** Flagship: end-to-end index build + BM25 edismax top-k on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val idx = indexFor(spark, "/root/testdata/sf0.001")
+    new Searcher(spark, idx).searchDF("data table merge", 10)
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++ EngineQueries.queries
+
+  /** DuckDB-equivalent SQL per query (same column names, same ordering). */
+  def oracleSql: Map[String, String] = RelationalQueries.oracleSql
 }

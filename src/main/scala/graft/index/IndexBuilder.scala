@@ -1,0 +1,287 @@
+package graft.index
+
+import graft.analysis.Analyzer
+import graft.core._
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Build configuration. Defaults size for local tests; at cluster scale raise
+  * `shufflePartitions` to O(cores); `saltRange` stays fixed — the number of
+  * salts grows with the corpus, which IS the skew mitigation: a head term
+  * present in 40% of docs is split into nDocs/saltRange independent runs that
+  * encode in parallel and concatenate in salt order by construction.
+  */
+case class IndexConfig(
+    fields: Seq[String] = Seq("content", "path", "repo"),
+    buckets: Int = 64,
+    blockSize: Int = 128,
+    saltRange: Long = 1L << 20,
+    shufflePartitions: Int = 32)
+
+/** Inverted-index build pipeline (SURVEY.md §3.1 step 7, §7.2 module 5):
+  *
+  *   docs -> stable docIds -> docstats (per-field lengths + sha256)
+  *        -> typed flatMap tokenize -> (bucket, field, term, salt, docId, tf)
+  *        -> repartition(bucket, field, salt) -> sortWithinPartitions
+  *        -> mapPartitions streaming block encoder -> posting runs (parquet)
+  *        -> dictionary (global df/cf) -> lineage rows -> snapshot commit
+  *
+  * Layout under `outDir`:
+  *   docstats/    (docId, repo, path, commit, lang, sha, salt, len*)
+  *   postings/    [[PostingRun]] rows, (field,term)-sorted within files
+  *   dictionary/  (bucket, field, term, df, cf)
+  *   lineage/     [[LineageRow]] per build partition
+  *   snapshots/, SNAPSHOT — snaptable commit ([[Snapshot]])
+  *
+  * Scale notes (the 100 TB design):
+  *  - ONE wide shuffle total (the posting repartition). docstats is map-only;
+  *    tokenizing twice trades CPU for not shuffling tokens twice.
+  *  - docId assignment is deterministic (global rank over a unique key), so
+  *    stages recompute it instead of joining back — resume never needs the
+  *    raw corpus co-shuffled with committed stages.
+  *  - postings files are sorted by (field, term): parquet row-group min/max
+  *    stats prune term lookups; `bucket` retained for directory partitioning.
+  */
+object IndexBuilder {
+
+  def bucketOf(term: String, buckets: Int): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(term, 0x9747b28c), buckets)
+
+  /** Deterministic dense docIds = global rank in (sha, repo, path, commit)
+    * order — the "sha256(content)-stable ordinal" (FIXTURES.md §1). Scalable
+    * shape: range partition + per-partition ranks + broadcast offsets; no
+    * single-partition global sort. Caller must keep the returned DF's lineage
+    * stable (we persist internally; call `unpersistDocIds` when done).
+    */
+  def withDocIds(spark: SparkSession, docs: Dataset[CodeDoc], partitions: Int): DataFrame = {
+    val keyCols = Seq(col("sha"), col("repo"), col("path"), col("commit"))
+    val parted = docs.toDF()
+      .withColumn("sha", sha2(col("content"), 256))
+      .repartitionByRange(partitions, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val counts = parted.groupBy("pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] = counts.map { case (pid, n) =>
+      val entry = pid -> acc; acc += n; entry
+    }.toMap
+    val w = Window.partitionBy(col("pid")).orderBy(keyCols: _*)
+    val offExpr =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offsets), col("pid")), lit(0L))
+    parted
+      .withColumn("docId", row_number().over(w).cast("long") - 1L + offExpr)
+      .drop("pid")
+  }
+
+  /** Tokenize one field value into (length, term -> tf) in first-seen order.
+    * Shared by the posting flatMap and the docstats map so lengths agree.
+    */
+  def termFreqs(field: String, text: String): (Int, mutable.LinkedHashMap[String, Int]) = {
+    val toks = Analyzer.analyzeField(field, text)
+    val m = mutable.LinkedHashMap.empty[String, Int]
+    var i = 0
+    while (i < toks.length) {
+      m.updateWith(toks(i)) { c => Some(c.getOrElse(0) + 1) }
+      i += 1
+    }
+    (toks.length, m)
+  }
+
+  def build(spark: SparkSession, docs: Dataset[CodeDoc], outDir: String,
+            cfg: IndexConfig = IndexConfig()): IndexMeta = {
+    import spark.implicits._
+    val snap = new Snapshot(outDir)
+    snap.init()
+
+    val needDocstats = !snap.stageDone("docstats")
+    val needPostings = !snap.stageDone("postings")
+    val withIds: DataFrame =
+      if (needDocstats || needPostings) withDocIds(spark, docs, cfg.shufflePartitions)
+      else null
+
+    // ---- stage: docstats ----
+    val docstatsPath = s"$outDir/docstats"
+    if (needDocstats) {
+      val saltRange = cfg.saltRange
+      withIds.select("docId", "repo", "path", "commit", "lang", "sha", "content")
+        .as[(Long, String, String, String, String, String, String)]
+        .map { case (docId, repo, path, commit, lang, sha, content) =>
+          DocStats(docId, repo, path, commit, lang, sha, (docId / saltRange).toInt,
+            termFreqs("content", content)._1,
+            termFreqs("path", path)._1,
+            termFreqs("repo", repo)._1)
+        }
+        .repartitionByRange(cfg.shufflePartitions, $"docId")
+        .sortWithinPartitions($"docId")
+        .write.mode("overwrite").parquet(docstatsPath)
+      snap.markStageDone("docstats")
+    }
+
+    // ---- stage: posting runs + per-partition lineage ----
+    val postingsPath = s"$outDir/postings"
+    val lineagePath = s"$outDir/lineage"
+    if (needPostings) {
+      val saltRange = cfg.saltRange
+      val buckets = cfg.buckets
+      val blockSize = cfg.blockSize
+      val tokens = withIds.select("docId", "repo", "path", "content")
+        .as[(Long, String, String, String)]
+        .flatMap { case (docId, repo, path, content) =>
+          val salt = (docId / saltRange).toInt
+          val out = mutable.ArrayBuffer.empty[(Int, String, String, Int, Long, Int, Int)]
+          var fi = 0
+          val fieldVals = Array(("content", content), ("path", path), ("repo", repo))
+          while (fi < fieldVals.length) {
+            val (field, text) = fieldVals(fi)
+            val (len, tfs) = termFreqs(field, text)
+            val quantLen = SmallFloat.quantizeLength(len)
+            tfs.foreach { case (term, tf) =>
+              out += ((bucketOf(term, buckets), field, term, salt, docId, tf, quantLen))
+            }
+            fi += 1
+          }
+          out
+        }
+        .toDF("bucket", "field", "term", "salt", "docId", "tf", "quantLen")
+
+      val sorted = tokens
+        .repartition(cfg.shufflePartitions, $"bucket", $"field", $"salt")
+        .sortWithinPartitions($"bucket", $"field", $"term", $"salt", $"docId")
+        .as[(Int, String, String, Int, Long, Int, Int)]
+
+      val encoded: Dataset[(Option[PostingRun], Option[LineageRow])] =
+        sorted.mapPartitions { it =>
+          val pid = TaskContext.getPartitionId()
+          val enc = new RunEncoder(blockSize)
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+          var termLo: String = null
+          var termHi: String = null
+          var bucketSeen = -1
+          var nRuns = 0L; var nPost = 0L; var nBytes = 0L
+          def record(r: PostingRun): PostingRun = {
+            nRuns += 1; nPost += r.df; bucketSeen = r.bucket
+            if (termLo == null || r.term < termLo) termLo = r.term
+            if (termHi == null || r.term > termHi) termHi = r.term
+            r.blocks.foreach { b =>
+              nBytes += b.docsDelta.length + b.tfs.length
+              sha.update(b.docsDelta); sha.update(b.tfs)
+            }
+            r
+          }
+          val runs: Iterator[PostingRun] =
+            it.flatMap { case (b, f, t, s, d, tf, ql) => enc.add(b, f, t, s, d, tf, ql) } ++
+              new Iterator[PostingRun] { // lazily flush AFTER input exhausts
+                private var flushed = false
+                private var v: Option[PostingRun] = None
+                def hasNext: Boolean = { if (!flushed) { v = enc.flush(); flushed = true }; v.nonEmpty }
+                def next(): PostingRun = { val r = v.get; v = None; r }
+              }
+          runs.map(r => (Some(record(r)), Option.empty[LineageRow])) ++
+            new Iterator[(Option[PostingRun], Option[LineageRow])] { // trailing lineage row
+              private var emitted = false
+              def hasNext: Boolean = !emitted
+              def next(): (Option[PostingRun], Option[LineageRow]) = {
+                emitted = true
+                (None, Some(LineageRow(pid, bucketSeen,
+                  Option(termLo).getOrElse(""), Option(termHi).getOrElse(""),
+                  nRuns, nPost, nBytes, sha.digest().map("%02x".format(_)).mkString)))
+              }
+            }
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      encoded.flatMap(_._1).write.mode("overwrite").parquet(postingsPath)
+      encoded.flatMap(_._2).write.mode("overwrite").parquet(lineagePath)
+      encoded.unpersist()
+      snap.markStageDone("postings")
+    }
+    if (withIds != null) withIds.unpersist()
+
+    // ---- stage: dictionary (small aggregate over runs) ----
+    val dictPath = s"$outDir/dictionary"
+    if (!snap.stageDone("dictionary")) {
+      spark.read.parquet(postingsPath)
+        .groupBy($"bucket", $"field", $"term")
+        .agg(sum($"df").as("df"), sum($"cf").as("cf"))
+        .repartitionByRange(math.max(1, cfg.buckets / 8), $"field", $"term")
+        .sortWithinPartitions($"field", $"term")
+        .write.mode("overwrite").parquet(dictPath)
+      snap.markStageDone("dictionary")
+    }
+
+    // ---- stage: snapshot commit ----
+    val stats = spark.read.parquet(docstatsPath)
+      .agg(count(lit(1)), sum($"lenContent"), sum($"lenPath"), sum($"lenRepo"))
+      .collect()(0)
+    val nDocs = stats.getLong(0)
+    val meta = IndexMeta(
+      nDocs = nDocs,
+      avgLen = Map(
+        "content" -> stats.getLong(1).toDouble / nDocs,
+        "path" -> stats.getLong(2).toDouble / nDocs,
+        "repo" -> stats.getLong(3).toDouble / nDocs),
+      buckets = cfg.buckets, saltRange = cfg.saltRange, blockSize = cfg.blockSize)
+    snap.commit(meta.toProps ++ Map("fields" -> cfg.fields.mkString(",")))
+    meta
+  }
+}
+
+/** Incremental run encoder: add() postings in (bucket, field, term, salt,
+  * docId) order; returns the finished previous run whenever the key changes.
+  * Blocks cut at `blockSize` postings; docIds delta+varint encoded per block
+  * with absolute first id ([[graft.core.Codec]]). Constant memory per run.
+  */
+final class RunEncoder(blockSize: Int) {
+  private var bucket = -1
+  private var field: String = _
+  private var term: String = _
+  private var salt = -1
+  private val blocks = mutable.ArrayBuffer.empty[PostingBlock]
+  private val docBuf = new Array[Long](blockSize)
+  private val tfBuf = new Array[Int](blockSize)
+  private var n = 0
+  private var runDf = 0L
+  private var runCf = 0L
+  private var runMaxTf = 0
+  private var blkMaxTf = 0
+  private var blkMinQL = Int.MaxValue
+
+  private def cutBlock(): Unit = {
+    if (n == 0) return
+    blocks += PostingBlock(
+      firstDoc = docBuf(0), lastDoc = docBuf(n - 1), n = n,
+      maxTf = blkMaxTf, minQuantLen = blkMinQL,
+      docsDelta = Codec.encodeDocIds(java.util.Arrays.copyOf(docBuf, n)),
+      tfs = Codec.encodeTfs(java.util.Arrays.copyOf(tfBuf, n)))
+    n = 0; blkMaxTf = 0; blkMinQL = Int.MaxValue
+  }
+
+  private def finishRun(): PostingRun = {
+    cutBlock()
+    val run = PostingRun(bucket, field, term, salt, runDf, runCf, runMaxTf, blocks.toArray)
+    blocks.clear(); runDf = 0; runCf = 0; runMaxTf = 0
+    run
+  }
+
+  /** Returns Some(previous finished run) when the key changes. */
+  def add(b: Int, f: String, t: String, s: Int, docId: Long, tf: Int, quantLen: Int): Option[PostingRun] = {
+    val boundary = term != null && (b != bucket || f != field || t != term || s != salt)
+    val finished = if (boundary) Some(finishRun()) else None
+    if (term == null || boundary) { bucket = b; field = f; term = t; salt = s }
+    docBuf(n) = docId; tfBuf(n) = tf
+    if (tf > blkMaxTf) blkMaxTf = tf
+    if (tf > runMaxTf) runMaxTf = tf
+    if (quantLen < blkMinQL) blkMinQL = quantLen
+    n += 1; runDf += 1; runCf += tf
+    if (n == blockSize) cutBlock()
+    finished
+  }
+
+  def flush(): Option[PostingRun] = if (term == null) None else Some(finishRun())
+}
