@@ -3,7 +3,8 @@ package graft.query
 import graft.analysis.Analyzer
 import graft.core._
 import graft.index.{IndexMeta, Snapshot}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
@@ -33,8 +34,8 @@ object QueryPlan {
 
 /** Lazy block-at-a-time posting iterator over one (field, term)'s runs within
   * one salt range. Runs arrive salt-sorted; blocks decode on demand — the
-  * block-skipping entry points (`skipToBlockContaining`, `blockMaxTf`) are
-  * what block-max WAND prunes with.
+  * block-skipping entry points (`skipTo`, block lastDoc metadata) are what
+  * block-max WAND prunes with.
   */
 final class PostingIterator(runs: Array[PostingRun]) {
   private val blocks: Array[PostingBlock] = runs.sortBy(_.salt).flatMap(_.blocks)
@@ -62,8 +63,8 @@ final class PostingIterator(runs: Array[PostingRun]) {
     if (i >= docs.length) { bi += 1; decodeCurrent() }
   }
 
-  /** Skip forward to the first posting with docId >= target, skipping whole
-    * blocks via their lastDoc metadata (decodes only the landing block).
+  /** Skip to the first posting with docId >= target, hopping whole blocks via
+    * lastDoc metadata (decodes only the landing block).
     */
   def skipTo(target: Long): Unit = {
     if (exhausted || curDoc >= target) return
@@ -107,11 +108,28 @@ final class TopK(k: Int) {
     pq.dequeueAll.toArray.sortBy(h => (-h.score, h.docId))
 }
 
-/** Top-k retrieval over a built index (SURVEY.md §3.2 step 5):
-  * query terms -> dictionary lookup (broadcast-sized) -> posting runs
-  * cogrouped with docstats BY SALT RANGE -> per-range DAAT/WAND kernel ->
-  * per-range top-k -> driver merge. One collect boundary; no shuffle of
-  * postings (runs and docstats are co-partitioned by construction).
+/** Dense per-field quantized-length norms: docIds are dense ranks 0..N-1 by
+  * construction (IndexBuilder.withDocIds), so norm lookup is a direct byte
+  * array index. 1 byte/doc/field — the broadcast form of the north rule's
+  * "document-length statistics computed as a broadcast DF".
+  */
+case class NormTable(fields: Array[String], bytes: Array[Array[Byte]]) {
+  def quantLen(fi: Int, docId: Long): Int = SmallFloat.byte4ToInt(bytes(fi)(docId.toInt))
+}
+
+/** Top-k retrieval over a built index (SURVEY.md §3.2 step 5).
+  *
+  * Two physical strategies, both rank-identical (EngineSpec gates this):
+  *
+  *  - BROADCAST (default): dictionary loaded once into a driver map; norms
+  *    broadcast as dense byte arrays; per query ONE shuffle-free Spark job —
+  *    postings scan (term filter pushed to parquet row groups) ->
+  *    mapPartitions DAAT/WAND kernel -> per-partition top-k -> driver merge.
+  *    Right while norms fit executor memory (1 byte/doc/field).
+  *
+  *  - SHUFFLE: posting runs cogrouped with docstats BY SALT RANGE; unbounded
+  *    corpus size, one shuffle of the (tiny) term-filtered runs. The scale
+  *    path when broadcast norms no longer fit.
   */
 class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
   import spark.implicits._
@@ -119,49 +137,140 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
   val meta: IndexMeta = IndexMeta.fromProps(new Snapshot(indexDir).readProps())
   val DefaultFields: Seq[String] = Seq("content", "path", "repo")
 
-  private def dictLookup(pairs: Set[(String, String)]): Map[(String, String), Long] = {
-    val terms = pairs.map(_._2).toSeq
-    val fields = pairs.map(_._1).toSeq
+  /** Full dictionary cached on the driver (vocab-sized; for corpora where
+    * this no longer fits, flip to per-query parquet-filtered lookups).
+    */
+  lazy val dictionary: Map[(String, String), Long] =
     spark.read.parquet(s"$indexDir/dictionary")
-      .filter($"term".isin(terms: _*) && $"field".isin(fields: _*))
       .select($"field", $"term", $"df")
       .collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
       .toMap
-      .filter { case (k, _) => pairs.contains(k) }
+
+  /** Dense norms broadcast once per searcher. */
+  lazy val normsBc: Broadcast[NormTable] = {
+    val fields = DefaultFields.toArray
+    val n = meta.nDocs.toInt
+    val arrs = fields.map(_ => new Array[Byte](n))
+    spark.read.parquet(s"$indexDir/docstats")
+      .select($"docId", $"lenContent", $"lenPath", $"lenRepo")
+      .as[(Long, Int, Int, Int)]
+      .collect()
+      .foreach { case (id, lc, lp, lr) =>
+        arrs(0)(id.toInt) = SmallFloat.intToByte4(lc)
+        arrs(1)(id.toInt) = SmallFloat.intToByte4(lp)
+        arrs(2)(id.toInt) = SmallFloat.intToByte4(lr)
+      }
+    spark.sparkContext.broadcast(NormTable(fields, arrs))
   }
 
-  def search(query: String, k: Int, fields: Seq[String] = DefaultFields): Array[Hit] = {
+  /** Re-used postings DataFrame (file index cached across queries). */
+  private lazy val postingsDF: DataFrame = spark.read.parquet(s"$indexDir/postings")
+
+  private def plan(query: String, fields: Seq[String])
+      : Option[(Array[Clause], Map[(String, String), Double], Int)] = {
     val cls = QueryPlan.clauses(query, fields)
-    if (cls.isEmpty) return Array.empty
-    val needed: Set[(String, String)] = cls.flatMap(_.perField.toSeq).toSet
-    val dfMap = dictLookup(needed)
-    if (dfMap.isEmpty) return Array.empty
-
+    if (cls.isEmpty) return None
+    val needed = cls.flatMap(_.perField.toSeq).toSet
+    val dfMap = needed.toSeq.flatMap(k => dictionary.get(k).map(k -> _)).toMap
+    if (dfMap.isEmpty) return None
     val n = meta.nDocs
-    // idf per (field, term); avgLen per field — global stats, broadcast-sized
-    val idfMap: Map[(String, String), Double] = dfMap.map { case (k2, df) => k2 -> BM25.idf(n, df) }
-    val avgLen = meta.avgLen
-    val minMatch = BM25.minShouldMatch(cls.length)
-    val clausesB = cls
-    val fieldsB = fields.toArray
-    val kB = k
+    val idfMap = dfMap.map { case (k2, df) => k2 -> BM25.idf(n, df) }
+    Some((cls, idfMap, BM25.minShouldMatch(cls.length)))
+  }
 
-    val termList = needed.map(_._2).toSeq
-    val fieldList = needed.map(_._1).toSeq
-    val runs = spark.read.parquet(s"$indexDir/postings")
+  private def filteredRuns(idfMap: Map[(String, String), Double]): Dataset[PostingRun] = {
+    val termList = idfMap.keySet.map(_._2).toSeq
+    val fieldList = idfMap.keySet.map(_._1).toSeq
+    postingsDF
       .filter($"term".isin(termList: _*) && $"field".isin(fieldList: _*))
       .as[PostingRun]
-    val stats = spark.read.parquet(s"$indexDir/docstats")
-      .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo")
-      .as[(Long, Int, Int, Int, Int)]
+  }
 
-    val localHits: Array[Hit] = runs.groupByKey(_.salt)
-      .cogroup(stats.groupByKey(_._2)) { case (_, runIt, statIt) =>
-        Kernel.scoreRange(runIt, statIt, clausesB, fieldsB, idfMap, avgLen, minMatch, kB)
-      }
-      .collect()
+  def search(query: String, k: Int, fields: Seq[String] = DefaultFields): Array[Hit] =
+    searchBroadcast(query, k, fields)
 
+  /** Posting volume estimate from the dictionary (df is exact): used to pick
+    * the driver-local kernel (lowest latency, one collect job) vs the
+    * distributed grouped kernel.
+    */
+  private def estimatedPostings(idfMap: Map[(String, String), Double]): Long =
+    idfMap.keysIterator.map(k2 => dictionary.getOrElse(k2, 0L)).sum
+
+  /** Cutoff (postings) below which the query runs its kernel on the driver.
+    * Mutable so tests can force the distributed branch.
+    */
+  var DriverKernelMaxPostings: Long = 4L << 20
+
+  /** Default strategy: broadcast norms; runs are co-located BY SALT either on
+    * the driver (small queries: one collect job, no shuffle at all) or via a
+    * groupByKey of the term-filtered runs (tiny shuffle; docstats never move).
+    */
+  def searchBroadcast(query: String, k: Int, fields: Seq[String] = DefaultFields): Array[Hit] = {
+    plan(query, fields) match {
+      case None => Array.empty
+      case Some((cls, idfMap, minMatch)) =>
+        val avgLen = meta.avgLen
+        val fieldArr = DefaultFields.toArray
+        if (estimatedPostings(idfMap) <= DriverKernelMaxPostings) {
+          val nt = normsBc.value // local value; no broadcast needed on driver
+          val runs = filteredRuns(idfMap).collect()
+          val localHits = runs.groupBy(_.salt).valuesIterator.flatMap { rs =>
+            Kernel.scoreSalt(rs, (fi, d) => nt.quantLen(fi, d),
+              cls, fieldArr, idfMap, avgLen, minMatch, k)
+          }.toArray
+          merge(localHits, k)
+        } else {
+          val bc = normsBc
+          val localHits = filteredRuns(idfMap)
+            .groupByKey(_.salt)
+            .flatMapGroups { (_, it) =>
+              val nt = bc.value
+              Kernel.scoreSalt(it.toArray, (fi, d) => nt.quantLen(fi, d),
+                cls, fieldArr, idfMap, avgLen, minMatch, k)
+            }
+            .collect()
+          merge(localHits, k)
+        }
+    }
+  }
+
+  /** Scale strategy: cogroup runs with docstats by salt range (no broadcast). */
+  def searchShuffle(query: String, k: Int, fields: Seq[String] = DefaultFields): Array[Hit] = {
+    plan(query, fields) match {
+      case None => Array.empty
+      case Some((cls, idfMap, minMatch)) =>
+        val avgLen = meta.avgLen
+        val fieldArr = DefaultFields.toArray
+        val stats = spark.read.parquet(s"$indexDir/docstats")
+          .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo")
+          .as[(Long, Int, Int, Int, Int)]
+        val localHits = filteredRuns(idfMap).groupByKey(_.salt)
+          .cogroup(stats.groupByKey(_._2)) { case (_, runIt, statIt) =>
+            val runs = runIt.toArray
+            if (runs.isEmpty) Iterator.empty
+            else {
+              val arr = statIt.toArray
+              val ids = new mutable.HashMap[Long, Int]() // docId -> idx
+              arr.indices.foreach(ix => ids.update(arr(ix)._1, ix))
+              def ql(fi: Int, d: Long): Int = {
+                val ix = ids(d)
+                val len = fi match {
+                  case 0 => arr(ix)._3
+                  case 1 => arr(ix)._4
+                  case _ => arr(ix)._5
+                }
+                SmallFloat.quantizeLength(len)
+              }
+              Kernel.scoreSalt(runs, ql, cls, fieldArr, idfMap, avgLen, minMatch, k)
+            }
+          }
+          .collect()
+        merge(localHits, k)
+    }
+  }
+
+  private def merge(localHits: Array[Hit], k: Int): Array[Hit] = {
     val top = new TopK(k)
     localHits.foreach(top.offer)
     top.sortedHits
@@ -185,15 +294,17 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
 
 /** The per-salt-range scoring kernel. Pure Scala over primitive arrays — the
   * idiomatic high-performance escape hatch (SURVEY.md §4). DAAT with WAND
-  * threshold pruning: clauses are scored document-at-a-time; a candidate is
-  * skipped without norm lookups when the sum of clause upper bounds cannot
-  * beat the current heap threshold.
+  * threshold pruning: clauses are scored document-at-a-time; norm lookup is
+  * injected (broadcast dense table or cogrouped docstats slice).
   */
 object Kernel extends Serializable {
 
-  def scoreRange(
-      runIt: Iterator[PostingRun],
-      statIt: Iterator[(Long, Int, Int, Int, Int)],
+  /** Score all postings of one salt range. `runs` must all share one salt.
+    * `quantLenOf(fieldIdx, docId)` returns the SmallFloat-quantized length.
+    */
+  def scoreSalt(
+      runs: Array[PostingRun],
+      quantLenOf: (Int, Long) => Int,
       clauses: Array[Clause],
       fields: Array[String],
       idfMap: Map[(String, String), Double],
@@ -201,63 +312,13 @@ object Kernel extends Serializable {
       minMatch: Int,
       k: Int): Iterator[Hit] = {
 
-    // group runs by (field, term)
-    val byKey = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[PostingRun]]
-    runIt.foreach { r =>
-      byKey.getOrElseUpdate((r.field, r.term), mutable.ArrayBuffer.empty) += r
-    }
+    val byKey = runs.groupBy(r => (r.field, r.term))
     if (byKey.isEmpty) return Iterator.empty
-
-    // docstats arrays for this range, sorted by docId
-    val statsArr = statIt.toArray.sortBy(_._1)
-    val nd = statsArr.length
-    val docIds = new Array[Long](nd)
-    val lens = Array.ofDim[Int](fields.length, nd)
     val fieldIdx: Map[String, Int] = fields.zipWithIndex.toMap
-    var si = 0
-    while (si < nd) {
-      val (d, _, lc, lp, lr) = statsArr(si)
-      docIds(si) = d
-      fieldIdx.get("content").foreach(fi => lens(fi)(si) = lc)
-      fieldIdx.get("path").foreach(fi => lens(fi)(si) = lp)
-      fieldIdx.get("repo").foreach(fi => lens(fi)(si) = lr)
-      si += 1
-    }
-    val norms: Array[Array[Double]] = fields.map { f =>
-      val fi = fieldIdx(f)
-      val avg = avgLen(f)
-      val cache = new Array[Double](256) // one lengthNorm per possible norm byte
-      var ci = 0
-      while (ci < 256) {
-        cache(ci) = BM25.lengthNorm(SmallFloat.byte4ToInt(ci.toByte), avg)
-        ci += 1
-      }
-      val out = new Array[Double](nd)
-      var di = 0
-      while (di < nd) {
-        out(di) = cache(java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(lens(fi)(di))))
-        di += 1
-      }
-      out
-    }
+    val avgArr: Array[Double] = fields.map(avgLen)
 
-    def normOf(fi: Int, docId: Long): Double = {
-      var lo = 0
-      var hi = nd - 1
-      while (lo <= hi) {
-        val mid = (lo + hi) >>> 1
-        val v = docIds(mid)
-        if (v == docId) return norms(fi)(mid)
-        else if (v < docId) lo = mid + 1
-        else hi = mid - 1
-      }
-      // doc present in postings must exist in docstats; defensive default
-      BM25.lengthNorm(0, avgLen(fields(fi)))
-    }
-
-    // one posting iterator per (clause, field) that has an indexed term here;
-    // duplicate (field, term) pairs share nothing mutable but blocks decode
-    // independently per clause (Lucene scores duplicate clauses independently).
+    // one posting iterator per (clause, field); duplicate (field, term) pairs
+    // get independent iterators (Lucene scores duplicate clauses independently)
     case class Leg(clauseIdx: Int, fi: Int, idf: Double, it: PostingIterator, ub: Double)
     val legs = mutable.ArrayBuffer.empty[Leg]
     var ci = 0
@@ -267,11 +328,10 @@ object Kernel extends Serializable {
         val key = (f, term)
         (byKey.get(key), idfMap.get(key)) match {
           case (Some(rs), Some(idf)) =>
-            val runsArr = rs.toArray
-            val maxTf = runsArr.map(_.maxTf).max
-            val minQL = runsArr.flatMap(_.blocks).map(_.minQuantLen).min
+            val maxTf = rs.map(_.maxTf).max
+            val minQL = rs.flatMap(_.blocks).map(_.minQuantLen).min
             val ub = BM25.maxTermScore(idf, maxTf, minQL, avgLen(f))
-            legs += Leg(ci, fieldIdx(f), idf, new PostingIterator(runsArr), ub)
+            legs += Leg(ci, fieldIdx(f), idf, new PostingIterator(rs), ub)
           case _ =>
         }
       }
@@ -279,7 +339,6 @@ object Kernel extends Serializable {
     }
     if (legs.isEmpty) return Iterator.empty
 
-    // per-clause upper bound (dismax over its field legs) for WAND pruning
     val clauseUb = new Array[Double](clauses.length)
     legs.groupBy(_.clauseIdx).foreach { case (cIdx, ls) =>
       clauseUb(cIdx) = BM25.dismax(ls.map(_.ub).toArray)
@@ -291,8 +350,8 @@ object Kernel extends Serializable {
     val perClausePerField = Array.ofDim[Double](clauses.length, fields.length)
     val clauseTouched = new Array[Boolean](clauses.length)
 
-    var active = legArr.count(!_.it.exhausted)
-    while (active > 0) {
+    var done = false
+    while (!done) {
       // candidate = min current doc across non-exhausted legs
       var cand = Long.MaxValue
       var li = 0
@@ -301,50 +360,46 @@ object Kernel extends Serializable {
         if (!leg.it.exhausted && leg.it.curDoc < cand) cand = leg.it.curDoc
         li += 1
       }
-      if (cand == Long.MaxValue) return finish(top)
-
-      // WAND-style prune: skip scoring when even all clauses at max can't beat θ
-      val theta = top.threshold
-      val prune = totalUb <= theta
-
-      var matched = 0
-      var score = 0.0
-      if (!prune) {
-        java.util.Arrays.fill(clauseTouched, false)
-        li = 0
-        while (li < legArr.length) {
-          val leg = legArr(li)
-          if (!leg.it.exhausted && leg.it.curDoc == cand) {
-            perClausePerField(leg.clauseIdx)(leg.fi) =
-              BM25.termScore(leg.idf, leg.it.curTf, normOf(leg.fi, cand))
-            clauseTouched(leg.clauseIdx) = true
+      if (cand == Long.MaxValue) done = true
+      else {
+        // WAND threshold: once even a full-match can't beat theta, stop —
+        // candidates only grow in docId, so ties can't improve either.
+        val theta = top.threshold
+        if (totalUb <= theta && theta > Double.NegativeInfinity) done = true
+        else {
+          var matched = 0
+          var score = 0.0
+          java.util.Arrays.fill(clauseTouched, false)
+          li = 0
+          while (li < legArr.length) {
+            val leg = legArr(li)
+            if (!leg.it.exhausted && leg.it.curDoc == cand) {
+              val norm = BM25.lengthNorm(quantLenOf(leg.fi, cand), avgArr(leg.fi))
+              perClausePerField(leg.clauseIdx)(leg.fi) =
+                BM25.termScore(leg.idf, leg.it.curTf, norm)
+              clauseTouched(leg.clauseIdx) = true
+            }
+            li += 1
           }
-          li += 1
-        }
-        var c2 = 0
-        while (c2 < clauses.length) {
-          if (clauseTouched(c2)) {
-            matched += 1
-            score += BM25.dismax(perClausePerField(c2))
-            java.util.Arrays.fill(perClausePerField(c2), 0.0)
+          var c2 = 0
+          while (c2 < clauses.length) {
+            if (clauseTouched(c2)) {
+              matched += 1
+              score += BM25.dismax(perClausePerField(c2))
+              java.util.Arrays.fill(perClausePerField(c2), 0.0)
+            }
+            c2 += 1
           }
-          c2 += 1
+          if (matched >= minMatch) top.offer(Hit(cand, score))
+          li = 0
+          while (li < legArr.length) {
+            val leg = legArr(li)
+            if (!leg.it.exhausted && leg.it.curDoc == cand) leg.it.advance()
+            li += 1
+          }
         }
-        if (matched >= minMatch) top.offer(Hit(cand, score))
-      }
-
-      // advance all legs positioned at cand
-      li = 0
-      active = 0
-      while (li < legArr.length) {
-        val leg = legArr(li)
-        if (!leg.it.exhausted && leg.it.curDoc == cand) leg.it.advance()
-        if (!leg.it.exhausted) active += 1
-        li += 1
       }
     }
-    finish(top)
+    top.sortedHits.iterator
   }
-
-  private def finish(top: TopK): Iterator[Hit] = top.sortedHits.iterator
 }

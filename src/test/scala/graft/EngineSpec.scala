@@ -104,6 +104,18 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("all three physical strategies are rank-identical") {
+    queries.foreach { case (q, k) =>
+      val a = searcher.searchBroadcast(q, k).toSeq // driver-local kernel
+      searcher.DriverKernelMaxPostings = 0L // force distributed grouped kernel
+      val a2 = try searcher.searchBroadcast(q, k).toSeq
+      finally searcher.DriverKernelMaxPostings = 4L << 20
+      val b = searcher.searchShuffle(q, k).toSeq
+      assert(a == b, s"[$q] driver-kernel vs shuffle")
+      assert(a2 == b, s"[$q] grouped-broadcast vs shuffle")
+    }
+  }
+
   test("mm gates multi-term matches") {
     // 'buffer nonexistenttermxyz': 2 clauses => both required => no hits
     assert(searcher.search("buffer nonexistenttermxyz", 5).isEmpty)
