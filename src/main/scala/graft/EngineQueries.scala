@@ -1,6 +1,7 @@
 package graft
 
 import graft.oracle.ExactScorer
+import graft.ops.{Dedup, Multimodal, Similarity}
 import graft.query.Searcher
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -57,6 +58,36 @@ object EngineQueries {
         .select(sha2(col("content"), 256).as("sha")).distinct()
       src.agg(count(lit(1)).as("n_src_shas"))
         .crossJoin(src.intersect(stats).agg(count(lit(1)).as("n_common_shas")))
+    }),
+
+    // SimHash near-dup candidate pairs (banded 64-bit LSH; 64-bit md5-based
+    // bit math isn't portable to the DuckDB oracle, so rows-only)
+    "q_simhash_pairs" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 200)
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+    }),
+
+    // approximate nearest neighbor: random-hyperplane LSH buckets + exact
+    // rescore inside the probe set (rows-only; recall gated in OpsSpec)
+    "q_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").as[Array[Float]].head()
+      Similarity.lshTopK(s, emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", query, k = 10, nBits = 8, probeHamming = 2)
+        .withColumn("cos", round(col("cos"), 4))
+    }),
+
+    // multimodal: opaque-binary media table -> stubbed decode/resize/features
+    // pipeline (map-only; real schema and plumbing, stub codec)
+    "q_multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "image")
+      Multimodal.extractFeatures(media)
+        .select("media_id", "kind", "n_bytes", "payload_sha", "width", "height")
+        .orderBy(col("media_id"))
     }),
 
     // engine-vs-oracle agreement, surfaced as data (self-check the driver can

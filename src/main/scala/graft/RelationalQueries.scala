@@ -345,6 +345,42 @@ object RelationalQueries {
         .orderBy(col("shared_bands").desc, col("a"), col("b"))
     }),
 
+    // multimodal metadata: opaque binary payload + integrity columns
+    "q_media_meta" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+          sha2(col("text"), 256).as("payload_sha"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ST1/ST3 streaming ingest: windowed counts via Structured Streaming
+    // (memory sink, AvailableNow trigger) — same result as the batch window
+    "q_stream_window" -> ((s, dir) => {
+      val schema = t(s, dir, "events").schema
+      // FileStreamSource requires a directory; stage the single-file table
+      // into a temp dir (hard link when possible, copy otherwise)
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_events")
+      val target = stage.resolve("events.parquet")
+      val sourceFile = java.nio.file.Paths.get(s"$dir/events.parquet")
+      try java.nio.file.Files.createLink(target, sourceFile)
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(sourceFile, target)
+      }
+      val src = s.readStream.schema(schema).parquet(stage.toString)
+      val agg = src
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("cnt"))
+      val name = "q_stream_window_tbl"
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("window_start"), col("event_type"))
+    }),
+
     // brute-force cosine top-k over embeddings (ANN baseline)
     "q_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -568,6 +604,16 @@ object RelationalQueries {
         |FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
         |WHERE l.doc_id < r.doc_id
         |GROUP BY a, b ORDER BY shared_bands DESC, a, b""".stripMargin,
+
+    "q_media_meta" ->
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        |  sha256(text) AS payload_sha
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_stream_window" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        |  event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -14,8 +14,13 @@ object ScalingBench {
 
     def runAt(cpus: Int): Map[String, Double] = {
       val spark = Bench.newSession(cpus.toString)
-      try Bench.engineBench(spark, nDocs)
-      finally spark.stop()
+      // JIT/classloading warm-up: a small throwaway build, NOT measured —
+      // without it the first measured run absorbs all compilation cost and
+      // the N->4N ratio comes out dishonestly super-linear.
+      try {
+        Bench.engineBench(spark, math.min(5000L, nDocs / 4))
+        Bench.engineBench(spark, nDocs)
+      } finally spark.stop()
     }
 
     val atN = runAt(n)

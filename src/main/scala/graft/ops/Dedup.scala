@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Exact dedup, n-gram Jaccard, and MinHash+LSH are pure column expressions
+  * (also exposed with DuckDB oracles in RelationalQueries). SimHash needs
+  * 64-bit weighted-majority bit arithmetic, implemented here with Catalyst
+  * builtins only (conv/bitwise over md5 hex) so it stays codegen-friendly —
+  * no UDFs.
+  */
+object Dedup {
+
+  /** Whitespace word shingles of size n (array column of strings). */
+  def shingles(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Canonicalized exact-dup fingerprint: md5 over lowercased,
+    * whitespace-collapsed text.
+    */
+  def exactFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit token hash from md5 hex: two 32-bit halves via conv(16->10),
+    * recombined — conv of 8 hex chars always fits a long, so this stays
+    * engine-portable and overflow-free.
+    */
+  def tokenHash64(token: Column): Column = {
+    val hex = md5(token)
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
+  /** SimHash-64 over a token array: for each of 64 bits, sum +1/-1 weighted
+    * by token frequency, take the sign. Expressed as an aggregate over the
+    * token array per bit — builtins only.
+    *
+    * Scale note: 64 aggregate() passes over the token array per row is
+    * O(64·len); fine for fingerprinting after token truncation (we cap at
+    * `maxTokens`). For the hot path a custom Expression could do one pass.
+    */
+  def simhash64(words: Column, maxTokens: Int = 128): Column = {
+    val toks = slice(words, 1, maxTokens)
+    val hashes = transform(toks, t => tokenHash64(t))
+    val bits = transform(sequence(lit(0), lit(63)), b => {
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(votes > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two simhash-64 values. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs: band the 64 bits into 4x16-bit keys;
+    * docs sharing any band key are candidates, then filter by exact hamming
+    * distance <= maxHamming. Banding makes the self-join an equi-join on
+    * (band, key) — shuffle-friendly; no quadratic blowup.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"),
+      simhash64(split(lower(trim(col(textCol))), "\\s+")).as("sig"))
+    val banded = withSig.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band"),
+          call_function("shiftright", col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key")))).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+    val l = banded.select(col("id").as("a"), col("sig").as("siga"), col("band"), col("key"))
+    val r = banded.select(col("id").as("b"), col("sig").as("sigb"), col("band"), col("key"))
+    l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), hamming64(col("siga"), col("sigb")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("hamming"), col("a"), col("b"))
+  }
+
+  /** MinHash signature bands (b bands, string-min of per-band hashed
+    * shingles); equi-join on (band, sig) yields LSH candidates.
+    */
+  def minhashBands(sh: Column, bands: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        array_min(transform(sh, s => md5(concat(b.cast("string"), lit(":"), s)))).as("sig")))
+}

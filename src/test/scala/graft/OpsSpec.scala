@@ -1,0 +1,101 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val docsPath = "/root/testdata/sf0.001/documents.parquet"
+  val embPath = "/root/testdata/sf0.001/embeddings.parquet"
+
+  test("simhash: identical texts collide, near-identical are close") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different content about spark inverted index builds")
+    ).toDF("id", "text")
+    val sigs = df.select($"id",
+        Dedup.simhash64(split(lower(trim($"text")), "\\s+")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+  }
+
+  test("simhash banded pairs find exact dup with hamming 0") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "unrelated words nothing shared here at all ok")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("LSH ANN recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet(embPath)
+    val query = emb.filter($"vec_id" === 0).select("embedding")
+      .as[Array[Float]].head()
+    val rest = emb.filter($"vec_id" =!= 0)
+    val brute = Similarity.bruteForceTopK(rest, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ann = Similarity.lshTopK(spark, rest, "vec_id", "embedding", query, 10,
+      nBits = 8, probeHamming = 2)
+      .collect().map(_.getLong(0)).toSet
+    // random embeddings are the worst case for sign-LSH (no cluster
+    // structure); with nBits=8/probe=2 the probe set is ~14% of vectors, so
+    // random-guess recall would be ~0.14 — require at least ~2x that
+    val recall = (brute intersect ann).size.toDouble / brute.size
+    assert(recall >= 0.25, s"recall $recall too low (brute=$brute ann=$ann)")
+  }
+
+  test("LSH probe set is a real subset (it actually prunes)") {
+    val emb = spark.read.parquet(embPath)
+    val query = emb.filter($"vec_id" === 0).select("embedding")
+      .as[Array[Float]].head()
+    val planes = Similarity.hyperplanes(12, query.length)
+    val n = emb.count()
+    val probed = emb
+      .withColumn("sig", Similarity.lshSignature(
+        Similarity.asDouble($"embedding"), planes))
+      .groupBy("sig").count().count()
+    assert(probed > 1, "signatures must spread over multiple buckets")
+  }
+
+  test("multimodal stub pipeline: schema, integrity, determinism") {
+    val media = Multimodal.asMediaTable(
+      spark.read.parquet(docsPath).limit(50), "doc_id", "text", "image")
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.columns.toSeq ==
+      Seq("media_id", "kind", "n_bytes", "payload_sha", "width", "height", "features"))
+    val rows = feats.collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("width") == 224 && r.getAs[Int]("height") == 224)
+      assert(r.getAs[scala.collection.Seq[Float]]("features").length == 8)
+      assert(r.getAs[String]("payload_sha").length == 64)
+    }
+    // deterministic: rerun hashes identical
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(rows.map(_.getAs[String]("payload_sha")).toSeq ==
+      again.map(_.getAs[String]("payload_sha")).toSeq)
+  }
+
+  test("minhash bands: identical shingle sets share every band signature") {
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("c d e", "a b c", "b c d")) // same set, different order
+    ).toDF("id", "sh")
+    val sigs = df.select($"id", Dedup.minhashBands($"sh", 8).as("bands"))
+      .select($"id", explode($"bands").as("b"))
+      .select($"id", $"b.band", $"b.sig")
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getInt(1), r.getString(2))).toSet).toMap
+    assert(sigs(1L) == sigs(2L))
+  }
+}
