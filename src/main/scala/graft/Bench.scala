@@ -11,11 +11,57 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Multi-executor session: `local-cluster[workers, coresPerWorker, memMB]`
+    * spawns one real JVM per executor — the faithful single-box proxy for a
+    * multi-executor cluster (own heap/GC per executor, like real nodes),
+    * unlike local[n] threads sharing one JVM.
+    */
+  def newClusterSession(workers: Int, coresPerWorker: Int, memMB: Int = 4096): SparkSession = {
+    val localDir =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-tmp"
+      else System.getProperty("java.io.tmpdir")
+    val totalCores = workers * coresPerWorker
+    val s = SparkSession.builder()
+      .master(s"local-cluster[$workers,$coresPerWorker,$memMB]")
+      .appName("graft-bench-cluster")
+      .config("spark.executor.memory", s"${memMB - 512}m")
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.extraJavaOptions",
+        "--add-opens=java.base/java.lang=ALL-UNNAMED " +
+          "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED " +
+          "--add-opens=java.base/java.lang.reflect=ALL-UNNAMED " +
+          "--add-opens=java.base/java.io=ALL-UNNAMED " +
+          "--add-opens=java.base/java.net=ALL-UNNAMED " +
+          "--add-opens=java.base/java.nio=ALL-UNNAMED " +
+          "--add-opens=java.base/java.util=ALL-UNNAMED " +
+          "--add-opens=java.base/java.util.concurrent=ALL-UNNAMED " +
+          "--add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED " +
+          "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED " +
+          "--add-opens=java.base/sun.nio.cs=ALL-UNNAMED " +
+          "--add-opens=java.base/sun.security.action=ALL-UNNAMED " +
+          "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED")
+      .config("spark.sql.shuffle.partitions", (totalCores * 2).toString)
+      .config("spark.local.dir", localDir)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   def newSession(cpus: String): SparkSession = {
+    // Shuffle dirs on tmpfs when available: on a real cluster shuffle IO is
+    // spread across every node's local disks; on this single box one shared
+    // disk would otherwise be the (non-representative) scaling bottleneck.
+    val localDir =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-tmp"
+      else System.getProperty("java.io.tmpdir")
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 2).toString)
+      .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -51,7 +97,7 @@ object Bench {
     val docs = CodeCorpus.generate(spark, nDocs, nRepos = 100, partitions = cores * 2)
     val (_, tBuild) = time {
       IndexBuilder.build(spark, docs, out,
-        IndexConfig(buckets = 64, saltRange = 1L << 16, shufflePartitions = cores))
+        IndexConfig(buckets = 64, saltRange = 1L << 16, shufflePartitions = cores * 2))
     }
     val searcher = new Searcher(spark, out)
     // warm-up once (JIT + parquet footers), then measure per-query latency

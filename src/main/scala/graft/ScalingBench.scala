@@ -12,8 +12,8 @@ object ScalingBench {
     val nDocs = if (args.length > 0) args(0).toLong else 50000L
     val n = if (args.length > 1) args(1).toInt else 8
 
-    def runAt(cpus: Int): Map[String, Double] = {
-      val spark = Bench.newSession(cpus.toString)
+    def runAt(cores: Int): Map[String, Double] = {
+      val spark = Bench.newSession(cores.toString)
       // JIT/classloading warm-up: a small throwaway build, NOT measured —
       // without it the first measured run absorbs all compilation cost and
       // the N->4N ratio comes out dishonestly super-linear.

@@ -4,7 +4,6 @@ import graft.analysis.Analyzer
 import graft.core._
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
@@ -57,27 +56,40 @@ object IndexBuilder {
     * single-partition global sort. Caller must keep the returned DF's lineage
     * stable (we persist internally; call `unpersistDocIds` when done).
     */
+  /** caches created by withDocIds, released at the end of build() */
+  private val pendingCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
   def withDocIds(spark: SparkSession, docs: Dataset[CodeDoc], partitions: Int): DataFrame = {
+    import spark.implicits._
     val keyCols = Seq(col("sha"), col("repo"), col("path"), col("commit"))
     val parted = docs.toDF()
       .withColumn("sha", sha2(col("content"), 256))
+      .select("sha", "repo", "path", "commit", "lang", "content")
       .repartitionByRange(partitions, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
-      .withColumn("pid", spark_partition_id())
       .persist()
-    val counts = parted.groupBy("pid").count().collect()
+    pendingCaches.add(parted)
+    val counts = parted.groupBy(spark_partition_id().as("pid")).count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets: Map[Int, Long] = counts.map { case (pid, n) =>
       val entry = pid -> acc; acc += n; entry
     }.toMap
-    val w = Window.partitionBy(col("pid")).orderBy(keyCols: _*)
-    val offExpr =
-      if (offsets.isEmpty) lit(0L)
-      else coalesce(element_at(typedLit(offsets), col("pid")), lit(0L))
+    // Partitions are already key-sorted: the global rank is partition offset
+    // + local position. mapPartitions with a running counter — no second
+    // shuffle, no window re-sort (those anti-scaled: a full-corpus exchange
+    // per extra pass).
     parted
-      .withColumn("docId", row_number().over(w).cast("long") - 1L + offExpr)
-      .drop("pid")
+      .as[(String, String, String, String, String, String)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var rank = offsets.getOrElse(pid, 0L)
+        it.map { case (sha, repo, path, commit, lang, content) =>
+          val id = rank; rank += 1
+          (id, sha, repo, path, commit, lang, content)
+        }
+      }
+      .toDF("docId", "sha", "repo", "path", "commit", "lang", "content")
   }
 
   /** Tokenize one field value into (length, term -> tf) in first-seen order.
@@ -94,6 +106,16 @@ object IndexBuilder {
     (toks.length, m)
   }
 
+  /** Stage timing (stderr) — enabled with SPARK_GRAFT_TIMING=1. */
+  private def timed[T](stage: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    if (sys.env.get("SPARK_GRAFT_TIMING").contains("1")) {
+      System.err.println(f"[build-stage] $stage%-12s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    }
+    r
+  }
+
   def build(spark: SparkSession, docs: Dataset[CodeDoc], outDir: String,
             cfg: IndexConfig = IndexConfig()): IndexMeta = {
     import spark.implicits._
@@ -103,53 +125,67 @@ object IndexBuilder {
     val needDocstats = !snap.stageDone("docstats")
     val needPostings = !snap.stageDone("postings")
     val withIds: DataFrame =
-      if (needDocstats || needPostings) withDocIds(spark, docs, cfg.shufflePartitions)
+      if (needDocstats || needPostings)
+        timed("docIds")(withDocIds(spark, docs, cfg.shufflePartitions))
       else null
 
-    // ---- stage: docstats ----
+    // ---- tokens: ONE tokenize pass over content feeds BOTH docstats (via
+    // per-doc length aggregation, map-side combined so the extra shuffle is
+    // one tiny row per doc) and the posting build. content is decompressed
+    // from the columnar cache exactly once. ----
     val docstatsPath = s"$outDir/docstats"
-    if (needDocstats) {
-      val saltRange = cfg.saltRange
-      withIds.select("docId", "repo", "path", "commit", "lang", "sha", "content")
-        .as[(Long, String, String, String, String, String, String)]
-        .map { case (docId, repo, path, commit, lang, sha, content) =>
-          DocStats(docId, repo, path, commit, lang, sha, (docId / saltRange).toInt,
-            termFreqs("content", content)._1,
-            termFreqs("path", path)._1,
-            termFreqs("repo", repo)._1)
+    val postingsPath = s"$outDir/postings"
+    val lineagePath = s"$outDir/lineage"
+    val saltRange = cfg.saltRange
+    val buckets = cfg.buckets
+
+    lazy val tokens = withIds.select("docId", "repo", "path", "content")
+      .as[(Long, String, String, String)]
+      .flatMap { case (docId, repo, path, content) =>
+        val salt = (docId / saltRange).toInt
+        val out = mutable.ArrayBuffer.empty[(Int, String, String, Int, Long, Int, Int)]
+        var fi = 0
+        val fieldVals = Array(("content", content), ("path", path), ("repo", repo))
+        while (fi < fieldVals.length) {
+          val (field, text) = fieldVals(fi)
+          val (len, tfs) = termFreqs(field, text)
+          val quantLen = SmallFloat.quantizeLength(len)
+          tfs.foreach { case (term, tf) =>
+            out += ((bucketOf(term, buckets), field, term, salt, docId, tf, quantLen))
+          }
+          fi += 1
         }
-        .repartitionByRange(cfg.shufflePartitions, $"docId")
-        .sortWithinPartitions($"docId")
+        out
+      }
+      .toDF("bucket", "field", "term", "salt", "docId", "tf", "quantLen")
+    // NOTE deliberately NOT persisted: materializing the token stream as a
+    // columnar cache costs more than tokenizing twice (measured); each
+    // consumer recomputes tokens from the (cached, column-pruned) corpus.
+
+    // ---- stage: docstats (narrow columns only — the columnar cache prunes
+    // content entirely; lengths come from the token stream) ----
+    if (needDocstats) timed("docstats") {
+      val lens = tokens
+        .groupBy($"docId")
+        .agg(
+          sum(when($"field" === "content", $"tf").otherwise(0L)).as("lenContent"),
+          sum(when($"field" === "path", $"tf").otherwise(0L)).as("lenPath"),
+          sum(when($"field" === "repo", $"tf").otherwise(0L)).as("lenRepo"))
+      withIds.select($"docId", $"repo", $"path", $"commit", $"lang", $"sha",
+          ($"docId" / saltRange).cast("int").as("salt"))
+        .join(lens, Seq("docId"), "left")
+        .na.fill(0L, Seq("lenContent", "lenPath", "lenRepo"))
+        .select($"docId", $"repo", $"path", $"commit", $"lang", $"sha", $"salt",
+          $"lenContent".cast("int").as("lenContent"),
+          $"lenPath".cast("int").as("lenPath"),
+          $"lenRepo".cast("int").as("lenRepo"))
         .write.mode("overwrite").parquet(docstatsPath)
       snap.markStageDone("docstats")
     }
 
     // ---- stage: posting runs + per-partition lineage ----
-    val postingsPath = s"$outDir/postings"
-    val lineagePath = s"$outDir/lineage"
-    if (needPostings) {
-      val saltRange = cfg.saltRange
-      val buckets = cfg.buckets
+    if (needPostings) timed("postings") {
       val blockSize = cfg.blockSize
-      val tokens = withIds.select("docId", "repo", "path", "content")
-        .as[(Long, String, String, String)]
-        .flatMap { case (docId, repo, path, content) =>
-          val salt = (docId / saltRange).toInt
-          val out = mutable.ArrayBuffer.empty[(Int, String, String, Int, Long, Int, Int)]
-          var fi = 0
-          val fieldVals = Array(("content", content), ("path", path), ("repo", repo))
-          while (fi < fieldVals.length) {
-            val (field, text) = fieldVals(fi)
-            val (len, tfs) = termFreqs(field, text)
-            val quantLen = SmallFloat.quantizeLength(len)
-            tfs.foreach { case (term, tf) =>
-              out += ((bucketOf(term, buckets), field, term, salt, docId, tf, quantLen))
-            }
-            fi += 1
-          }
-          out
-        }
-        .toDF("bucket", "field", "term", "salt", "docId", "tf", "quantLen")
 
       val sorted = tokens
         .repartition(cfg.shufflePartitions, $"bucket", $"field", $"salt")
@@ -196,16 +232,16 @@ object IndexBuilder {
             }
         }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-      encoded.flatMap(_._1).write.mode("overwrite").parquet(postingsPath)
-      encoded.flatMap(_._2).write.mode("overwrite").parquet(lineagePath)
+      timed("postWrite")(encoded.flatMap(_._1).write.mode("overwrite").parquet(postingsPath))
+      timed("lineageWrite")(encoded.flatMap(_._2).write.mode("overwrite").parquet(lineagePath))
       encoded.unpersist()
       snap.markStageDone("postings")
     }
-    if (withIds != null) withIds.unpersist()
+    while (!pendingCaches.isEmpty) { Option(pendingCaches.poll()).foreach(_.unpersist()) }
 
     // ---- stage: dictionary (small aggregate over runs) ----
     val dictPath = s"$outDir/dictionary"
-    if (!snap.stageDone("dictionary")) {
+    if (!snap.stageDone("dictionary")) timed("dictionary") {
       spark.read.parquet(postingsPath)
         .groupBy($"bucket", $"field", $"term")
         .agg(sum($"df").as("df"), sum($"cf").as("cf"))
@@ -216,9 +252,9 @@ object IndexBuilder {
     }
 
     // ---- stage: snapshot commit ----
-    val stats = spark.read.parquet(docstatsPath)
+    val stats = timed("statsAgg")(spark.read.parquet(docstatsPath)
       .agg(count(lit(1)), sum($"lenContent"), sum($"lenPath"), sum($"lenRepo"))
-      .collect()(0)
+      .collect()(0))
     val nDocs = stats.getLong(0)
     val meta = IndexMeta(
       nDocs = nDocs,

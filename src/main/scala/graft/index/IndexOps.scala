@@ -1,0 +1,161 @@
+package graft.index
+
+import graft.core.CodeDoc
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Index-management operators mirroring the reference CLI's surface
+  * (SURVEY.md §2.1/§2.9): delete-by-id / delete-by-query, uniqueKey upsert,
+  * realtime get, facet counts, JSONL dump/reload, hit counts.
+  *
+  * Mutations are snapshot-functional: they produce a NEW index directory via
+  * rebuild of the surviving document set (our segments are immutable;
+  * Solr's in-place upsert becomes "filter + union + rebuild + commit", the
+  * delete-by-query K4 anti-join made explicit). Readers of the old directory
+  * are unaffected — commit-gated visibility, like solrconfig autoCommit.
+  */
+object IndexOps {
+
+  /** The natural key of a code doc — (repo, path, commit) identifies a row
+    * like `uniqueKey=id` does in the reference schema (schema.xml:356).
+    */
+  private val KeyCols = Seq("repo", "path", "commit")
+
+  def docs(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/docstats")
+
+  /** S4 realtime-get by ids: broadcast semi join of the id list. */
+  def realtimeGet(spark: SparkSession, indexDir: String, arks: Seq[(String, String, String)]): DataFrame = {
+    import spark.implicits._
+    val ids = arks.toDF(KeyCols: _*)
+    docs(spark, indexDir).join(broadcast(ids), KeyCols, "left_semi")
+  }
+
+  /** A2 hit count for a compiled filter query ([[QueryFilter]]). */
+  def hitCount(spark: SparkSession, indexDir: String, query: String): Long =
+    QueryFilter.matchingDocs(spark, indexDir, query).count()
+
+  /** Q6 facet counts over the documents matching a filter query:
+    * facet.field with mincount=1 (solrconfig.xml:129-130).
+    */
+  def facet(spark: SparkSession, indexDir: String, query: String, field: String): DataFrame = {
+    val matches = QueryFilter.matchingDocs(spark, indexDir, query)
+    matches.groupBy(col(field)).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 1)
+      .orderBy(col("cnt").desc, col(field))
+  }
+
+  /** K4 delete by id list: anti-join rewrite into a new snapshot dir. */
+  def deleteByIds(spark: SparkSession, source: Dataset[CodeDoc], keys: Seq[(String, String, String)],
+                  outDir: String, cfg: IndexConfig = IndexConfig()): IndexMeta = {
+    import spark.implicits._
+    val del = keys.toDF(KeyCols: _*)
+    val surviving = source.join(broadcast(del), KeyCols, "left_anti").as[CodeDoc]
+    IndexBuilder.build(spark, surviving, outDir, cfg)
+  }
+
+  /** Q8 uniqueKey upsert: re-adding a doc replaces the one with the same
+    * natural key (last-wins on the incoming batch, incoming wins over base).
+    */
+  def upsert(spark: SparkSession, base: Dataset[CodeDoc], incoming: Dataset[CodeDoc],
+             outDir: String, cfg: IndexConfig = IndexConfig()): IndexMeta = {
+    import spark.implicits._
+    val survivors = base.join(incoming.toDF().select(KeyCols.map(col): _*).distinct(),
+      KeyCols, "left_anti").as[CodeDoc]
+    IndexBuilder.build(spark, survivors.unionByName(incoming), outDir, cfg)
+  }
+
+  /** K5 JSONL dump: page the document set to `maxRecordsPerFile`-bounded
+    * JSON files (the reference dumps 1000 docs/file, importer.py:340-360).
+    */
+  def dumpJsonl(spark: SparkSession, indexDir: String, outDir: String,
+                batchSize: Int = 1000): Unit =
+    docs(spark, indexDir)
+      .repartitionByRange(4, col("docId"))
+      .sortWithinPartitions(col("docId"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", batchSize)
+      .json(outDir)
+
+  /** S2 JSONL reload: line-delimited JSON scan. */
+  def loadJsonl(spark: SparkSession, dir: String): DataFrame = spark.read.json(dir)
+}
+
+/** Q1: the reference's observed Lucene filter-query surface compiled onto the
+  * index tables (SURVEY.md §2.9). Grammar (exactly the forms feed_ursus
+  * issues — importer.py:187-204, 479-484, 499; feed_ursus.py:125-133):
+  *
+  *   clause     := [NOT] field:value | [NOT] field:* | *:*
+  *   query      := clause (OR clause)*
+  *
+  * `field:*`    -> field-exists test on docstats
+  * `field:value`-> exact keyword match for string fields (repo/lang/...) or
+  *                 analyzed-term postings lookup for `content`/`path`
+  * OR           -> union of matching docId sets; NOT -> complement.
+  */
+object QueryFilter {
+
+  sealed trait Clause
+  case class TermClause(field: String, value: String, negated: Boolean) extends Clause
+  case class ExistsClause(field: String, negated: Boolean) extends Clause
+  case object MatchAll extends Clause
+
+  def parse(query: String): Seq[Clause] =
+    query.split("(?i)\\s+OR\\s+").map(_.trim).filter(_.nonEmpty).map { part =>
+      val (neg, body) =
+        if (part.toUpperCase.startsWith("NOT ")) (true, part.substring(4).trim)
+        else (false, part)
+      body match {
+        case "*:*" => MatchAll
+        case b if b.endsWith(":*") => ExistsClause(b.dropRight(2), neg)
+        case b =>
+          val i = b.indexOf(':')
+          require(i > 0, s"bad clause: $part")
+          TermClause(b.substring(0, i), b.substring(i + 1), neg)
+      }
+    }.toSeq
+
+  /** docIds (and doc columns) matching the query — DataFrame set algebra:
+    * term clauses prune via parquet pushdown on the postings/docstats scans;
+    * negation is an anti-join against the clause's match set.
+    */
+  def matchingDocs(spark: SparkSession, indexDir: String, query: String): DataFrame = {
+    val stats = spark.read.parquet(s"$indexDir/docstats")
+    val clauses = parse(query)
+
+    def clauseDocs(c: Clause): DataFrame = c match {
+      case MatchAll => stats
+      case ExistsClause(field, neg) =>
+        val pred = field match {
+          case "content" => col("lenContent") > 0
+          case "path" => col("lenPath") > 0
+          case "repo" => col("lenRepo") > 0
+          case other => col(other).isNotNull
+        }
+        stats.filter(if (neg) !pred else pred)
+      case TermClause(field, value, neg) =>
+        val positive: DataFrame = field match {
+          case "content" | "path" =>
+            val term = graft.analysis.Analyzer.analyzeField(field, value)
+              .headOption.getOrElse(value)
+            val matched = spark.read.parquet(s"$indexDir/postings")
+              .filter(col("field") === field && col("term") === term)
+              .select(explode(col("blocks")).as("b"))
+              .select(col("b.docsDelta").as("docsDelta"), col("b.n").as("n"))
+              .as[(Array[Byte], Int)](org.apache.spark.sql.Encoders.product[(Array[Byte], Int)])
+              .flatMap(t => graft.core.Codec.decodeDocIds(t._1, t._2))(
+                org.apache.spark.sql.Encoders.scalaLong)
+              .toDF("docId").distinct()
+            stats.join(matched, "docId")
+          case other =>
+            stats.filter(col(other) === value)
+        }
+        if (neg) stats.join(positive.select("docId"), Seq("docId"), "left_anti")
+        else positive
+    }
+
+    clauses.map(clauseDocs).reduce { (a, b) =>
+      a.unionByName(b).dropDuplicates("docId")
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.corpus.CodeCorpus
+import graft.index.{IndexBuilder, IndexConfig, IndexOps, QueryFilter}
+import org.scalatest.funsuite.AnyFunSuite
+
+class IndexOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val cfg: IndexConfig = IndexConfig(buckets = 8, blockSize = 64,
+    saltRange = 256, shufflePartitions = 4)
+  lazy val tmp: String = java.nio.file.Files.createTempDirectory("graftops").toString
+  lazy val docs = CodeCorpus.generate(spark, 600, nRepos = 10, partitions = 4)
+  lazy val meta = IndexBuilder.build(spark, docs, tmp, cfg)
+
+  test("query filter: term, exists, NOT, OR, *:* (importer.py:187-204,499)") {
+    meta
+    // *:* matches everything
+    assert(QueryFilter.matchingDocs(spark, tmp, "*:*").count() == 600)
+    // field exists
+    assert(QueryFilter.matchingDocs(spark, tmp, "content:*").count() == 600)
+    // keyword term on a raw field
+    val r7 = QueryFilter.matchingDocs(spark, tmp, "repo:repo-0007").count()
+    assert(r7 == docs.filter(_.repo == "repo-0007").count())
+    // NOT exists
+    assert(QueryFilter.matchingDocs(spark, tmp, "NOT content:*").count() == 0)
+    // analyzed term on content: planted phrase word in known docs
+    val withBinary = QueryFilter.matchingDocs(spark, tmp, "content:binary").count()
+    assert(withBinary == docs.filter(_.content.contains("binary search tree")).count())
+    // OR union
+    val or = QueryFilter.matchingDocs(spark, tmp, "repo:repo-0007 OR repo:repo-0008").count()
+    val exp = docs.filter(d => d.repo == "repo-0007" || d.repo == "repo-0008").count()
+    assert(or == exp)
+    // NOT term OR ... (delete-by-query shape, importer.py:199-204)
+    val notQ = QueryFilter.matchingDocs(spark, tmp, "NOT repo:repo-0007").count()
+    assert(notQ == 600 - r7)
+  }
+
+  test("hit count + facet over query results (A2/Q6)") {
+    assert(IndexOps.hitCount(spark, tmp, "repo:repo-0003") > 0)
+    val facets = IndexOps.facet(spark, tmp, "*:*", "lang").collect()
+    assert(facets.map(_.getLong(1)).sum == 600)
+    assert(facets.forall(_.getLong(1) >= 1)) // mincount=1
+  }
+
+  test("realtime get by natural keys (S4)") {
+    val keys = docs.take(3).map(d => (d.repo, d.path, d.commit)).toSeq
+    val got = IndexOps.realtimeGet(spark, tmp, keys)
+    assert(got.count() == 3)
+  }
+
+  test("delete-by-ids produces index without the deleted docs (K4)") {
+    val victims = docs.take(5).map(d => (d.repo, d.path, d.commit)).toSeq
+    val out = java.nio.file.Files.createTempDirectory("graftdel").toString
+    val m2 = IndexOps.deleteByIds(spark, docs, victims, out, cfg)
+    assert(m2.nDocs == 595)
+    assert(IndexOps.realtimeGet(spark, out, victims).count() == 0)
+  }
+
+  test("upsert replaces docs with the same natural key (Q8)") {
+    val d0 = docs.take(1)(0)
+    val replacement = d0.copy(content = "totally replaced content zyzzyx")
+    val out = java.nio.file.Files.createTempDirectory("graftup").toString
+    val m2 = IndexOps.upsert(spark, docs, Seq(replacement).toDS(), out, cfg)
+    assert(m2.nDocs == 600) // replaced, not added
+    val hits = new graft.query.Searcher(spark, out).search("zyzzyx", 5)
+    assert(hits.length == 1)
+  }
+
+  test("jsonl dump + reload round trip (K5/S2)") {
+    val out = java.nio.file.Files.createTempDirectory("graftdump").toString
+    IndexOps.dumpJsonl(spark, tmp, out, batchSize = 100)
+    val back = IndexOps.loadJsonl(spark, out)
+    assert(back.count() == 600)
+    assert(back.select("sha").distinct().count() ==
+      IndexOps.docs(spark, tmp).select("sha").distinct().count())
+    // batch-size paging produced multiple files (1000/file default in ref)
+    val files = new java.io.File(out).listFiles().count(_.getName.endsWith(".json"))
+    assert(files >= 2)
+  }
+}
