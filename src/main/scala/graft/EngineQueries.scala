@@ -60,6 +60,20 @@ object EngineQueries {
         .crossJoin(src.intersect(stats).agg(count(lit(1)).as("n_common_shas")))
     }),
 
+    // Q1 lucene filter-query compiler + Q6 facet + A2 hit count on the index
+    "ix_query_filter" -> ((s, dir) => {
+      val idx = SparkEntry.indexFor(s, dir)
+      graft.index.QueryFilter
+        .matchingDocs(s, idx, "lang:en OR lang:de")
+        .select("docId", "repo", "path", "lang")
+        .orderBy(col("docId"))
+    }),
+
+    "ix_facet" -> ((s, dir) => {
+      val idx = SparkEntry.indexFor(s, dir)
+      graft.index.IndexOps.facet(s, idx, "content:*", "lang")
+    }),
+
     // SimHash near-dup candidate pairs (banded 64-bit LSH; 64-bit md5-based
     // bit math isn't portable to the DuckDB oracle, so rows-only)
     "q_simhash_pairs" -> ((s, dir) => {

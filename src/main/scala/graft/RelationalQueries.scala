@@ -345,6 +345,61 @@ object RelationalQueries {
         .orderBy(col("shared_bands").desc, col("a"), col("b"))
     }),
 
+    // F6 serialize_term: controlled-vocabulary id->label via broadcast map
+    // (util.py:240-299, controlled_fields.py:15-782)
+    "q_serialize_term" -> ((s, dir) => {
+      val vocab = typedLit(Map(
+        "click" -> "Click Event", "view" -> "View Event",
+        "purchase" -> "Purchase Event"))
+      t(s, dir, "events")
+        .select(col("event_id"),
+          coalesce(element_at(vocab, col("event_type")), col("event_type"))
+            .as("label"))
+        .orderBy(col("event_id")).limit(500)
+    }),
+
+    // A4 sorted-set aggregation (feed_sinai/solr_record.py:35-42)
+    "q_sorted_set_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(array_join(array_sort(array_distinct(collect_list(col("o_orderstatus")))), "|")
+          .as("statuses"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // A5/A6 min/max aggregates over date sets (solr_record.py:535-541,
+    // ursus_solr_record.py:647-656)
+    "q_date_minmax" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(min(col("o_orderdate")).as("first_date"),
+          max(col("o_orderdate")).as("last_modified"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // P1 header-alias projection: coalesce over alias columns
+    // (AliasChoices, ursus_solr_record.py:341-353)
+    "q_alias_coalesce" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          coalesce(nullif(col("p_brand"), lit("Brand#13")), col("p_type"),
+            lit("unknown")).as("canonical"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // F13 get_year: single 3/4-digit year, ambiguous -> null (year_parser.py:38-51)
+    "q_get_year" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("txt",
+          concat(lit("circa "), year(col("ts")), lit(" doc #"), col("event_id")))
+        .withColumn("years",
+          regexp_extract_all(col("txt"), lit("\\b(\\d\\d\\d\\d|\\d\\d\\d)\\b"), lit(0)))
+        .select(col("event_id"),
+          when(size(col("years")) === 1, element_at(col("years"), 1).cast("int"))
+            .as("year"))
+        .orderBy(col("event_id")).limit(1000)
+    }),
+
     // multimodal metadata: opaque binary payload + integrity columns
     "q_media_meta" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -604,6 +659,37 @@ object RelationalQueries {
         |FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
         |WHERE l.doc_id < r.doc_id
         |GROUP BY a, b ORDER BY shared_bands DESC, a, b""".stripMargin,
+
+    "q_serialize_term" ->
+      """SELECT event_id, CASE event_type
+        |  WHEN 'click' THEN 'Click Event'
+        |  WHEN 'view' THEN 'View Event'
+        |  WHEN 'purchase' THEN 'Purchase Event'
+        |  ELSE event_type END AS label
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+
+    "q_sorted_set_agg" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), '|') AS statuses
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_date_minmax" ->
+      """SELECT o_orderpriority, min(o_orderdate) AS first_date,
+        |  max(o_orderdate) AS last_modified
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_alias_coalesce" ->
+      """SELECT p_partkey,
+        |  coalesce(nullif(p_brand, 'Brand#13'), p_type, 'unknown') AS canonical
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_get_year" ->
+      """SELECT event_id, CASE WHEN len(years) = 1 THEN years[1]::int END AS year
+        |FROM (SELECT event_id,
+        |  regexp_extract_all('circa ' || year(ts) || ' doc #' || event_id,
+        |    '\b(\d\d\d\d|\d\d\d)\b') AS years
+        |  FROM events)
+        |ORDER BY event_id LIMIT 1000""".stripMargin,
 
     "q_media_meta" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
