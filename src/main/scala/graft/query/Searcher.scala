@@ -346,39 +346,47 @@ object Kernel extends Serializable {
     val totalUb = clauseUb.sum
 
     val top = new TopK(k)
-    val legArr = legs.toArray
     val perClausePerField = Array.ofDim[Double](clauses.length, fields.length)
     val clauseTouched = new Array[Boolean](clauses.length)
 
-    var done = false
+    // ---- block-max WAND main loop ----
+    // Invariant: every live leg's iterator is positioned at the first
+    // posting >= any docId already processed, so a doc d can only match
+    // legs with curDoc <= d. Each round:
+    //   1. sort live legs by curDoc;
+    //   2. pivot = first prefix whose summed upper bounds EXCEED the heap
+    //      threshold (no prefix can -> terminate: later docs only shrink
+    //      the reachable bound, and score ties lose to earlier docIds);
+    //   3. if the lowest leg already sits on the pivot doc, score it fully
+    //      (mm gate applies at scoring); otherwise skipTo(pivot) the legs
+    //      before it — whole blocks are skipped via their lastDoc metadata
+    //      ([[PostingIterator.skipTo]]), which is the "block-max" part.
+    var live = legs.toArray.filter(!_.it.exhausted)
+    var done = live.isEmpty
     while (!done) {
-      // candidate = min current doc across non-exhausted legs
-      var cand = Long.MaxValue
-      var li = 0
-      while (li < legArr.length) {
-        val leg = legArr(li)
-        if (!leg.it.exhausted && leg.it.curDoc < cand) cand = leg.it.curDoc
-        li += 1
-      }
-      if (cand == Long.MaxValue) done = true
+      java.util.Arrays.sort(live, (a: Leg, b: Leg) =>
+        java.lang.Long.compare(a.it.curDoc, b.it.curDoc))
+      val theta = top.threshold
+      // pivot = first prefix (always at least one leg) whose summed upper
+      // bounds exceed theta
+      var acc = live(0).ub
+      var p = 1
+      while (p < live.length && !(acc > theta)) { acc += live(p).ub; p += 1 }
+      if (!(acc > theta)) done = true // even all remaining legs can't beat theta
       else {
-        // WAND threshold: once even a full-match can't beat theta, stop —
-        // candidates only grow in docId, so ties can't improve either.
-        val theta = top.threshold
-        if (totalUb <= theta && theta > Double.NegativeInfinity) done = true
-        else {
+        val pivotDoc = live(p - 1).it.curDoc
+        if (live(0).it.curDoc == pivotDoc) {
+          // all legs at pivotDoc are within live(0..p-1..); score fully
           var matched = 0
           var score = 0.0
           java.util.Arrays.fill(clauseTouched, false)
-          li = 0
-          while (li < legArr.length) {
-            val leg = legArr(li)
-            if (!leg.it.exhausted && leg.it.curDoc == cand) {
-              val norm = BM25.lengthNorm(quantLenOf(leg.fi, cand), avgArr(leg.fi))
-              perClausePerField(leg.clauseIdx)(leg.fi) =
-                BM25.termScore(leg.idf, leg.it.curTf, norm)
-              clauseTouched(leg.clauseIdx) = true
-            }
+          var li = 0
+          while (li < live.length && live(li).it.curDoc == pivotDoc) {
+            val leg = live(li)
+            val norm = BM25.lengthNorm(quantLenOf(leg.fi, pivotDoc), avgArr(leg.fi))
+            perClausePerField(leg.clauseIdx)(leg.fi) =
+              BM25.termScore(leg.idf, leg.it.curTf, norm)
+            clauseTouched(leg.clauseIdx) = true
             li += 1
           }
           var c2 = 0
@@ -390,14 +398,22 @@ object Kernel extends Serializable {
             }
             c2 += 1
           }
-          if (matched >= minMatch) top.offer(Hit(cand, score))
+          if (matched >= minMatch) top.offer(Hit(pivotDoc, score))
           li = 0
-          while (li < legArr.length) {
-            val leg = legArr(li)
-            if (!leg.it.exhausted && leg.it.curDoc == cand) leg.it.advance()
+          while (li < live.length && live(li).it.curDoc == pivotDoc) {
+            live(li).it.advance()
+            li += 1
+          }
+        } else {
+          // advance the legs below the pivot up to it (block-skipping)
+          var li = 0
+          while (li < live.length && live(li).it.curDoc < pivotDoc) {
+            live(li).it.skipTo(pivotDoc)
             li += 1
           }
         }
+        live = live.filter(!_.it.exhausted)
+        if (live.isEmpty) done = true
       }
     }
     top.sortedHits.iterator

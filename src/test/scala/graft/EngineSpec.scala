@@ -66,7 +66,11 @@ class EngineSpec extends AnyFunSuite {
     ("café", 10), // unicode folding
     ("nonexistenttermxyz", 10), // absent term
     ("buffer nonexistenttermxyz", 5), // mm: 2 clauses, both required, one absent => empty
-    ("red black tree rotation lock free queue", 20)
+    ("red black tree rotation lock free queue", 20),
+    ("buffer", 3), // tiny k on the head term => aggressive WAND pruning
+    ("buffer sort", 3), // head+head, both required, tiny k
+    ("parse", 1), // k=1 extreme
+    ("implementation buffer", 10) // rare+head (pivot skipping exercised)
   )
 
   test("index builds with sane meta") {
