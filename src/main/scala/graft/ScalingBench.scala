@@ -3,7 +3,7 @@ package graft
 /** The north rule's two-cluster-size scaling evidence: run the SAME index
   * build on the SAME input at local[N] and local[4N] (the sandbox proxy for N
   * vs 4N executors, per the driver's instruction), report throughput at both
-  * and efficiency = (thr@4N / thr@N) / 4. Writes BENCH/BASELINE.md.
+  * and efficiency = (thr@4N / thr@N) / 4. Writes BENCH/SCALING_LAST.md (BENCH/BASELINE.md is curated by hand from it).
   *
   * Usage: runMain graft.ScalingBench [nDocs] [N]   (defaults 50000, 8)
   */
@@ -51,7 +51,7 @@ object ScalingBench {
          |""".stripMargin
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/BASELINE.md"), md)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/SCALING_LAST.md"), md)
     println(md)
     println(f"""{"metric":"scaling_efficiency","value":$eff%.4f,"unit":"ratio","thrN":$thrN%.1f,"thr4N":$thr4N%.1f,"nDocs":$nDocs}""")
   }

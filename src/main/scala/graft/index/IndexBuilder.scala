@@ -143,7 +143,11 @@ object IndexBuilder {
       .as[(Long, String, String, String)]
       .flatMap { case (docId, repo, path, content) =>
         val salt = (docId / saltRange).toInt
-        val out = mutable.ArrayBuffer.empty[(Int, String, String, Int, Long, Int, Int)]
+        // narrow shuffle row: field as a 1-byte id (0=content 1=path 2=repo)
+        // and NO bucket column (recomputed from the term at encode time) —
+        // the term string dominates the wide exchange; everything else is
+        // kept minimal
+        val out = mutable.ArrayBuffer.empty[(Byte, String, Int, Long, Int, Int)]
         var fi = 0
         val fieldVals = Array(("content", content), ("path", path), ("repo", repo))
         while (fi < fieldVals.length) {
@@ -151,13 +155,13 @@ object IndexBuilder {
           val (len, tfs) = termFreqs(field, text)
           val quantLen = SmallFloat.quantizeLength(len)
           tfs.foreach { case (term, tf) =>
-            out += ((bucketOf(term, buckets), field, term, salt, docId, tf, quantLen))
+            out += ((fi.toByte, term, salt, docId, tf, quantLen))
           }
           fi += 1
         }
         out
       }
-      .toDF("bucket", "field", "term", "salt", "docId", "tf", "quantLen")
+      .toDF("fieldId", "term", "salt", "docId", "tf", "quantLen")
     // NOTE deliberately NOT persisted: materializing the token stream as a
     // columnar cache costs more than tokenizing twice (measured); each
     // consumer recomputes tokens from the (cached, column-pruned) corpus.
@@ -168,9 +172,9 @@ object IndexBuilder {
       val lens = tokens
         .groupBy($"docId")
         .agg(
-          sum(when($"field" === "content", $"tf").otherwise(0L)).as("lenContent"),
-          sum(when($"field" === "path", $"tf").otherwise(0L)).as("lenPath"),
-          sum(when($"field" === "repo", $"tf").otherwise(0L)).as("lenRepo"))
+          sum(when($"fieldId" === 0, $"tf").otherwise(0L)).as("lenContent"),
+          sum(when($"fieldId" === 1, $"tf").otherwise(0L)).as("lenPath"),
+          sum(when($"fieldId" === 2, $"tf").otherwise(0L)).as("lenRepo"))
       withIds.select($"docId", $"repo", $"path", $"commit", $"lang", $"sha",
           ($"docId" / saltRange).cast("int").as("salt"))
         .join(lens, Seq("docId"), "left")
@@ -188,9 +192,12 @@ object IndexBuilder {
       val blockSize = cfg.blockSize
 
       val sorted = tokens
-        .repartition(cfg.shufflePartitions, $"bucket", $"field", $"salt")
-        .sortWithinPartitions($"bucket", $"field", $"term", $"salt", $"docId")
-        .as[(Int, String, String, Int, Long, Int, Int)]
+        .repartition(cfg.shufflePartitions, $"term", $"fieldId", $"salt")
+        // term first: the string sort-prefix discriminates (a 3-valued byte
+        // first would force full-row comparisons), and the output lands
+        // term-major for parquet row-group pruning
+        .sortWithinPartitions($"term", $"fieldId", $"salt", $"docId")
+        .as[(Byte, String, Int, Long, Int, Int)]
 
       val encoded: Dataset[(Option[PostingRun], Option[LineageRow])] =
         sorted.mapPartitions { it =>
@@ -211,8 +218,11 @@ object IndexBuilder {
             }
             r
           }
+          val fieldNames = Array("content", "path", "repo")
           val runs: Iterator[PostingRun] =
-            it.flatMap { case (b, f, t, s, d, tf, ql) => enc.add(b, f, t, s, d, tf, ql) } ++
+            it.flatMap { case (fid, t, s, d, tf, ql) =>
+              enc.add(bucketOf(t, buckets), fieldNames(fid), t, s, d, tf, ql)
+            } ++
               new Iterator[PostingRun] { // lazily flush AFTER input exhausts
                 private var flushed = false
                 private var v: Option[PostingRun] = None
