@@ -42,8 +42,9 @@ case class IndexConfig(
   *  - docId assignment is deterministic (global rank over a unique key), so
   *    stages recompute it instead of joining back — resume never needs the
   *    raw corpus co-shuffled with committed stages.
-  *  - postings files are sorted by (field, term): parquet row-group min/max
-  *    stats prune term lookups; `bucket` retained for directory partitioning.
+  *  - postings land term-major inside files (parquet row-group min/max stats
+  *    prune term lookups) under bucket=N directories (hash(term) directory
+  *    pruning: a query only opens the footers of its terms' buckets).
   */
 object IndexBuilder {
 
@@ -242,7 +243,12 @@ object IndexBuilder {
             }
         }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-      timed("postWrite")(encoded.flatMap(_._1).write.mode("overwrite").parquet(postingsPath))
+      // partitionBy(bucket): term lookups prune whole directories (a q-term
+      // query opens <= q/buckets of the files' footers — file-level pruning
+      // on top of the term-major row-group stats). Files per bucket stay
+      // bounded at shufflePartitions.
+      timed("postWrite")(encoded.flatMap(_._1).write.mode("overwrite")
+        .partitionBy("bucket").parquet(postingsPath))
       timed("lineageWrite")(encoded.flatMap(_._2).write.mode("overwrite").parquet(lineagePath))
       encoded.unpersist()
       snap.markStageDone("postings")

@@ -138,8 +138,10 @@ object QueryFilter {
           case "content" | "path" =>
             val term = graft.analysis.Analyzer.analyzeField(field, value)
               .headOption.getOrElse(value)
+            val buckets = IndexMeta.fromProps(new Snapshot(indexDir).readProps()).buckets
             val matched = spark.read.parquet(s"$indexDir/postings")
-              .filter(col("field") === field && col("term") === term)
+              .filter(col("bucket") === IndexBuilder.bucketOf(term, buckets) &&
+                col("field") === field && col("term") === term)
               .select(explode(col("blocks")).as("b"))
               .select(col("b.docsDelta").as("docsDelta"), col("b.n").as("n"))
               .as[(Array[Byte], Int)](org.apache.spark.sql.Encoders.product[(Array[Byte], Int)])

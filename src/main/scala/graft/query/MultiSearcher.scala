@@ -73,8 +73,11 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     segments.foreach { seg =>
       val termList = idfMap.keySet.map(_._2).toSeq
       val fieldList = idfMap.keySet.map(_._1).toSeq
+      val bucketList = termList
+        .map(t => graft.index.IndexBuilder.bucketOf(t, seg.meta.buckets)).distinct
       val runs = spark.read.parquet(s"${seg.dir}/postings")
-        .filter($"term".isin(termList: _*) && $"field".isin(fieldList: _*))
+        .filter($"bucket".isin(bucketList: _*) &&
+          $"term".isin(termList: _*) && $"field".isin(fieldList: _*))
         .as[PostingRun].collect()
       if (runs.nonEmpty) {
         // segment-local dense norm table

@@ -182,8 +182,12 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
   private def filteredRuns(idfMap: Map[(String, String), Double]): Dataset[PostingRun] = {
     val termList = idfMap.keySet.map(_._2).toSeq
     val fieldList = idfMap.keySet.map(_._1).toSeq
+    // bucket prunes PARTITION DIRECTORIES (only the terms' buckets are even
+    // listed); term/field prune row groups inside the surviving files
+    val bucketList = termList.map(b => graft.index.IndexBuilder.bucketOf(b, meta.buckets)).distinct
     postingsDF
-      .filter($"term".isin(termList: _*) && $"field".isin(fieldList: _*))
+      .filter($"bucket".isin(bucketList: _*) &&
+        $"term".isin(termList: _*) && $"field".isin(fieldList: _*))
       .as[PostingRun]
   }
 
