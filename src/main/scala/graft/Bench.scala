@@ -123,6 +123,10 @@ object Bench {
       val t = try time(fn(spark, sfDir).count())._2 catch { case _: Throwable => -1.0 }
       name -> t
     }
+    // JIT/codegen warm-up (small throwaway build, not reported) — same
+    // protocol as ScalingBench; without it the measured build absorbs all
+    // first-run compilation cost (measured 10x distortion at sf0.1).
+    engineBench(spark, math.min(5000L, math.max(1000L, corpusDocs(sfDir) / 10)))
     val engine = engineBench(spark, corpusDocs(sfDir))
 
     val all = relational ++ engine.toSeq

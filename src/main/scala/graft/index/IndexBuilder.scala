@@ -19,7 +19,16 @@ case class IndexConfig(
     buckets: Int = 64,
     blockSize: Int = 128,
     saltRange: Long = 1L << 20,
-    shufflePartitions: Int = 32)
+    shufflePartitions: Int = 32,
+    /** Write postings under bucket=N partition directories. Query side prunes
+      * whole directories per term (footer IO ∝ query terms, not corpus) and
+      * reads either layout transparently (bucket is a partition column here,
+      * a data column otherwise). Costs ~3ms/file × shufflePartitions×buckets
+      * at write time — amortized at cluster scale where buckets are GB-sized,
+      * dominant for small fast builds. Turn on for query-serving indexes,
+      * off for build-throughput paths.
+      */
+    bucketDirs: Boolean = false)
 
 /** Inverted-index build pipeline (SURVEY.md §3.1 step 7, §7.2 module 5):
   *
@@ -243,12 +252,14 @@ object IndexBuilder {
             }
         }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-      // partitionBy(bucket): term lookups prune whole directories (a q-term
-      // query opens <= q/buckets of the files' footers — file-level pruning
-      // on top of the term-major row-group stats). Files per bucket stay
-      // bounded at shufflePartitions.
-      timed("postWrite")(encoded.flatMap(_._1).write.mode("overwrite")
-        .partitionBy("bucket").parquet(postingsPath))
+      // bucketDirs: term lookups prune whole directories (a q-term query
+      // opens <= q/buckets of the files' footers — file-level pruning on top
+      // of the term-major row-group stats); see IndexConfig.bucketDirs for
+      // the write-cost tradeoff.
+      timed("postWrite") {
+        val w = encoded.flatMap(_._1).write.mode("overwrite")
+        (if (cfg.bucketDirs) w.partitionBy("bucket") else w).parquet(postingsPath)
+      }
       timed("lineageWrite")(encoded.flatMap(_._2).write.mode("overwrite").parquet(lineagePath))
       encoded.unpersist()
       snap.markStageDone("postings")

@@ -31,8 +31,11 @@ class EngineSpec extends AnyFunSuite {
 
   val NDocs = 1500
   // small saltRange so the corpus spans multiple salt ranges in tests
+  // bucketDirs on: the partitioned layout is the query-serving default, so
+  // the whole suite (rank identity, all three strategies, resume) gates it;
+  // GoldenSpec keeps the plain layout covered bit-for-bit.
   val cfg: IndexConfig = IndexConfig(buckets = 16, blockSize = 64,
-    saltRange = 400, shufflePartitions = 8)
+    saltRange = 400, shufflePartitions = 8, bucketDirs = true)
 
   lazy val tmp: String = java.nio.file.Files.createTempDirectory("graftidx").toString
   lazy val docs = CodeCorpus.generate(spark, NDocs, nRepos = 20, partitions = 8)

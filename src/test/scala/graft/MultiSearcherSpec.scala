@@ -24,8 +24,10 @@ class MultiSearcherSpec extends AnyFunSuite {
     val d2 = java.nio.file.Files.createTempDirectory("multiA").toString
     val d3 = java.nio.file.Files.createTempDirectory("multiB").toString
     IndexBuilder.build(spark, all, d1, cfg)
-    IndexBuilder.build(spark, a, d2, cfg)
-    IndexBuilder.build(spark, b, d3, cfg)
+    // segments use the bucket-partitioned layout, merged index the plain one:
+    // scoring identity across MIXED layouts proves reads are layout-agnostic
+    IndexBuilder.build(spark, a, d2, cfg.copy(bucketDirs = true))
+    IndexBuilder.build(spark, b, d3, cfg.copy(bucketDirs = true))
     (d1, d2, d3)
   }
 
