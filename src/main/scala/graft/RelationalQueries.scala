@@ -345,6 +345,35 @@ object RelationalQueries {
         .orderBy(col("shared_bands").desc, col("a"), col("b"))
     }),
 
+    // near-dup CLUSTERS: the q_minhash_lsh candidate pairs closed into
+    // connected components (Dedup.connectedComponents, min-label
+    // propagation) — one representative per duplicate group
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
+        .withColumn("w", split(lower(trim(col("text"))), "\\s+"))
+        .withColumn("sh", array_distinct(
+          when(size(col("w")) >= 3,
+            transform(sequence(lit(1), size(col("w")) - 2),
+              i => concat_ws(" ", element_at(col("w"), i),
+                element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+            .otherwise(array())))
+        .filter(size(col("sh")) > 0)
+        .withColumn("bands", graft.ops.Dedup.minhashBands(col("sh"), 8))
+        .select(col("doc_id"), explode(col("bands")).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val l = docs.select(col("doc_id").as("a"), col("band"), col("sig"))
+      val r = docs.select(col("doc_id").as("b"), col("band"), col("sig"))
+      val pairs = l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      graft.ops.Dedup.connectedComponents(pairs)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"),
+          array_join(transform(sort_array(collect_list(col("node"))),
+            x => x.cast("string")), "|").as("members"))
+        .select(col("label").as("cluster_rep"), col("n_members"), col("members"))
+        .orderBy(col("cluster_rep"))
+    }),
+
     // F6 serialize_term: controlled-vocabulary id->label via broadcast map
     // (util.py:240-299, controlled_fields.py:15-782)
     "q_serialize_term" -> ((s, dir) => {
@@ -659,6 +688,32 @@ object RelationalQueries {
         |FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
         |WHERE l.doc_id < r.doc_id
         |GROUP BY a, b ORDER BY shared_bands DESC, a, b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+        |    WHERE doc_id < 60),
+        |s AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END) AS sh FROM w),
+        |sigs AS (SELECT doc_id,
+        |    unnest(generate_series(0, 7)) AS band,
+        |    unnest(list_transform(generate_series(0, 7),
+        |      b -> list_min(list_transform(sh, x -> md5(b::varchar || ':' || x))))) AS sig
+        |  FROM s WHERE len(sh) > 0),
+        |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
+        |  WHERE l.doc_id < r.doc_id),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT a AS node, a AS r FROM edges
+        |  UNION
+        |  SELECT e.a AS node, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+        |comp AS (SELECT node, min(r) AS cluster_rep FROM reach GROUP BY node)
+        |SELECT cluster_rep, count(*) AS n_members,
+        |  array_to_string(list_transform(list_sort(list(node)), x -> x::varchar), '|') AS members
+        |FROM comp GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin,
 
     "q_serialize_term" ->
       """SELECT event_id, CASE event_type

@@ -90,4 +90,44 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"),
         array_min(transform(sh, s => md5(concat(b.cast("string"), lit(":"), s)))).as("sig")))
+
+  /** Connected components over an undirected edge list — turns near-dup
+    * PAIRS (from minhash/simhash banding) into dedup CLUSTERS, so one
+    * representative per cluster can be kept. Iterative min-label
+    * propagation: label(v) <- min(label(v), min label among neighbors),
+    * repeated to fixpoint. Each round is one equi-join + one map-side-
+    * combinable min-aggregate, so it distributes; rounds needed = graph
+    * diameter, which for near-dup clusters is tiny. The driver loop only
+    * checks a converged count — no edge data ever reaches the driver.
+    *
+    * @param pairs DataFrame with numeric columns `a`, `b` (a <-> b edge)
+    * @return (node, label) — label is the smallest node id in the component
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val msgs = sym.join(labels.withColumnRenamed("node", "b"), "b")
+        .select(col("a").as("node"), col("label"))
+      val next = labels.union(msgs)
+        .groupBy("node").agg(min("label").as("label"))
+        .persist()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
 }

@@ -26,6 +26,17 @@ class OpsSpec extends AnyFunSuite {
     assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
   }
 
+  test("connected components: chains close transitively, labels are min ids") {
+    // components: {1,2,3,4} via chain 1-2,2-3,3-4; {10,11}; {20,21,22} via
+    // star 20-21,20-22. 99 is isolated (no edge) and must not appear.
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (21L, 20L), (20L, 22L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges).as[(Long, Long)]
+      .collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("simhash banded pairs find exact dup with hamming 0") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
