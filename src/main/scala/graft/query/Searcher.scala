@@ -179,9 +179,9 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
     Some((cls, idfMap, BM25.minShouldMatch(cls.length)))
   }
 
-  private def filteredRuns(idfMap: Map[(String, String), Double]): Dataset[PostingRun] = {
-    val termList = idfMap.keySet.map(_._2).toSeq
-    val fieldList = idfMap.keySet.map(_._1).toSeq
+  private def filteredRuns(keys: Set[(String, String)]): Dataset[PostingRun] = {
+    val termList = keys.map(_._2).toSeq
+    val fieldList = keys.map(_._1).toSeq
     // bucket prunes PARTITION DIRECTORIES (only the terms' buckets are even
     // listed); term/field prune row groups inside the surviving files
     val bucketList = termList.map(b => graft.index.IndexBuilder.bucketOf(b, meta.buckets)).distinct
@@ -189,6 +189,36 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
       .filter($"bucket".isin(bucketList: _*) &&
         $"term".isin(termList: _*) && $"field".isin(fieldList: _*))
       .as[PostingRun]
+  }
+
+  /** Driver-resident hot-term posting cache (the Lucene query-cache analog
+    * for the driver-local kernel): once a (field, term)'s runs are fetched,
+    * repeat queries over that term skip the Spark job entirely. Bounded by
+    * [[RunCacheMaxTerms]] — memory is O(cached postings), the same data the
+    * kernel holds during a query. Only the driver-local strategy uses it;
+    * the distributed strategies stream runs straight to executors.
+    */
+  var RunCacheMaxTerms: Int = 8192
+  private val runCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[PostingRun]]()
+  /** Spark fetches performed (for tests/telemetry — cache-hit queries don't move it). */
+  private[graft] val cacheFetches = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def fetchRuns(keys: Set[(String, String)]): Array[PostingRun] = {
+    val missing = keys.filterNot(runCache.containsKey)
+    val fetched: Map[(String, String), Array[PostingRun]] =
+      if (missing.isEmpty) Map.empty
+      else {
+        cacheFetches.incrementAndGet()
+        val rows = filteredRuns(missing).collect()
+        // record empties too: a dictionary term with zero runs in range must
+        // not be re-fetched every query
+        val byKey = rows.groupBy(r => (r.field, r.term))
+        val all = missing.iterator.map(k => k -> byKey.getOrElse(k, Array.empty[PostingRun])).toMap
+        all.foreach { case (k, v) => if (runCache.size < RunCacheMaxTerms) runCache.put(k, v) }
+        all
+      }
+    keys.iterator.flatMap(k => fetched.getOrElse(k, runCache.getOrDefault(k, Array.empty))).toArray
   }
 
   def search(query: String, k: Int, fields: Seq[String] = DefaultFields): Array[Hit] =
@@ -218,7 +248,7 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
         val fieldArr = DefaultFields.toArray
         if (estimatedPostings(idfMap) <= DriverKernelMaxPostings) {
           val nt = normsBc.value // local value; no broadcast needed on driver
-          val runs = filteredRuns(idfMap).collect()
+          val runs = fetchRuns(idfMap.keySet)
           val localHits = runs.groupBy(_.salt).valuesIterator.flatMap { rs =>
             Kernel.scoreSalt(rs, (fi, d) => nt.quantLen(fi, d),
               cls, fieldArr, idfMap, avgLen, minMatch, k)
@@ -226,7 +256,7 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
           merge(localHits, k)
         } else {
           val bc = normsBc
-          val localHits = filteredRuns(idfMap)
+          val localHits = filteredRuns(idfMap.keySet)
             .groupByKey(_.salt)
             .flatMapGroups { (_, it) =>
               val nt = bc.value
@@ -249,7 +279,7 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
         val stats = spark.read.parquet(s"$indexDir/docstats")
           .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo")
           .as[(Long, Int, Int, Int, Int)]
-        val localHits = filteredRuns(idfMap).groupByKey(_.salt)
+        val localHits = filteredRuns(idfMap.keySet).groupByKey(_.salt)
           .cogroup(stats.groupByKey(_._2)) { case (_, runIt, statIt) =>
             val runs = runIt.toArray
             if (runs.isEmpty) Iterator.empty

@@ -82,6 +82,20 @@ class EngineSpec extends AnyFunSuite {
     assert(meta.avgLen("repo") == 1.0)
   }
 
+  test("hot-term run cache: repeat query skips the Spark fetch, same results") {
+    val fresh = new Searcher(spark, tmp)
+    val first = fresh.search("buffer binary search", 10)
+    val fetchesAfterFirst = fresh.cacheFetches.get()
+    assert(fetchesAfterFirst >= 1)
+    val second = fresh.search("buffer binary search", 10)
+    assert(fresh.cacheFetches.get() == fetchesAfterFirst, "repeat must be cache-served")
+    assert(first.toSeq == second.toSeq)
+    // overlapping query: only the NEW term (def) triggers one more fetch
+    val third = fresh.search("buffer def", 10)
+    assert(fresh.cacheFetches.get() == fetchesAfterFirst + 1)
+    assert(third.nonEmpty)
+  }
+
   test("per-row content sha256 integrity: docstats sha == sha256(source content)") {
     import spark.implicits._
     val stats = spark.read.parquet(s"$tmp/docstats").select("sha").as[String].collect().toSet
