@@ -345,6 +345,21 @@ object RelationalQueries {
         .orderBy(col("shared_bands").desc, col("a"), col("b"))
     }),
 
+    // deterministic stratified sampling for training-data curation: the
+    // sample membership is a pure function of the key (md5 first hex char =
+    // a 1/16 hash-sample), so it is reproducible across engines and runs,
+    // needs no state, and distributes as a plain filter — per-language
+    // stratum stats summarize the draw
+    "q_sample_stratified" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"))
+    }),
+
     // near-dup CLUSTERS: the q_minhash_lsh candidate pairs closed into
     // connected components (Dedup.connectedComponents, min-label
     // propagation) — one representative per duplicate group
@@ -688,6 +703,12 @@ object RelationalQueries {
         |FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
         |WHERE l.doc_id < r.doc_id
         |GROUP BY a, b ORDER BY shared_bands DESC, a, b""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc,
+        |  max(doc_id) AS last_doc
+        |FROM documents WHERE substr(md5(doc_id::varchar), 1, 1) = '0'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE
