@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable
+
 /** Deduplication operators for large-scale training-data pipelines.
   *
   * Exact dedup, n-gram Jaccard, and MinHash+LSH are pure column expressions
@@ -103,11 +105,38 @@ object Dedup {
     * @param pairs DataFrame with numeric columns `a`, `b` (a <-> b edge)
     * @return (node, label) — label is the smallest node id in the component
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          driverMaxEdges: Long = 1L << 20): DataFrame = {
     val sym = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist()
+    // Hybrid, like the searcher's driver-local kernel: near-dup graphs are
+    // usually tiny relative to the corpus (edges ∝ duplicates, not docs), so
+    // below the cutoff a driver union-find replaces O(diameter) Spark rounds
+    // with one collect. Same labels (min node id per component) either way.
+    if (sym.count() <= driverMaxEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val edges = sym.select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].collect()
+      sym.unpersist()
+      val parent = mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      return parent.keysIterator.map(n => (n, find(n))).toSeq
+        .toDF("node", "label")
+    }
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist()

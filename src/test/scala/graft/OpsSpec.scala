@@ -31,10 +31,15 @@ class OpsSpec extends AnyFunSuite {
     // star 20-21,20-22. 99 is isolated (no edge) and must not appear.
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
       (21L, 20L), (20L, 22L)).toDF("a", "b")
-    val got = Dedup.connectedComponents(edges).as[(Long, Long)]
-      .collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // driver union-find path (default cutoff) and the distributed min-label
+    // loop (cutoff 0) must produce the same labels
+    val local = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(edges, driverMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == want)
+    assert(dist == want)
   }
 
   test("simhash banded pairs find exact dup with hamming 0") {
