@@ -22,6 +22,17 @@ object EngineQueries {
       new Searcher(s, idx).searchDF("data table merge", 10)
     }),
 
+    // batched retrieval: one prefetch job for the batch, per-query kernels
+    "ix_search_batch" -> ((s, dir) => {
+      import s.implicits._
+      val idx = SparkEntry.indexFor(s, dir)
+      val searcher = new Searcher(s, idx)
+      val batch = Seq("data table merge", "filter join sort", "data")
+      searcher.searchMany(batch, 5).zip(batch).flatMap { case (hits, q) =>
+        hits.zipWithIndex.map { case (h, i) => (q, i + 1, h.docId, h.score) }
+      }.toDF("query", "rank", "docId", "score")
+    }),
+
     // Q3: six-term query exercising the mm=6<90% tier
     "ix_search_multiterm" -> ((s, dir) => {
       val idx = SparkEntry.indexFor(s, dir)

@@ -269,6 +269,23 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
     }
   }
 
+  /** Batched retrieval — the amortized-throughput shape for batch workloads:
+    * ONE Spark job fetches every cache-missing term across the whole batch,
+    * then each query runs the standard strategy (driver-local queries become
+    * pure cache hits, so per-query marginal cost is just the kernel). Results
+    * are identical to calling [[search]] per query.
+    */
+  def searchMany(queries: Seq[String], k: Int,
+                 fields: Seq[String] = DefaultFields): Seq[Array[Hit]] = {
+    val prefetch = queries.flatMap(q => plan(q, fields)).flatMap {
+      case (_, idfMap, _) =>
+        if (estimatedPostings(idfMap) <= DriverKernelMaxPostings) idfMap.keySet
+        else Set.empty[(String, String)]
+    }.toSet
+    if (prefetch.nonEmpty) fetchRuns(prefetch)
+    queries.map(q => searchBroadcast(q, k, fields))
+  }
+
   /** Scale strategy: cogroup runs with docstats by salt range (no broadcast). */
   def searchShuffle(query: String, k: Int, fields: Seq[String] = DefaultFields): Array[Hit] = {
     plan(query, fields) match {

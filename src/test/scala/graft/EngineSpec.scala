@@ -96,6 +96,18 @@ class EngineSpec extends AnyFunSuite {
     assert(third.nonEmpty)
   }
 
+  test("searchMany: one prefetch job, per-query results identical to search") {
+    val fresh = new Searcher(spark, tmp)
+    val batch = Seq("buffer", "binary search tree implementation",
+      "def class import return", "café")
+    val batched = fresh.searchMany(batch, 10)
+    assert(fresh.cacheFetches.get() == 1, "whole batch = one Spark fetch")
+    val oneByOne = batch.map(q => searcher.search(q, 10))
+    batched.zip(oneByOne).zip(batch).foreach { case ((b, s), q) =>
+      assert(b.toSeq == s.toSeq, s"[$q]")
+    }
+  }
+
   test("per-row content sha256 integrity: docstats sha == sha256(source content)") {
     import spark.implicits._
     val stats = spark.read.parquet(s"$tmp/docstats").select("sha").as[String].collect().toSet
