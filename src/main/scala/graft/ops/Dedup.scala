@@ -107,8 +107,10 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           driverMaxEdges: Long = 1L << 20): DataFrame = {
-    val sym = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    // pairs may be an expensive upstream plan (LSH banding); persist it so
+    // the two symmetrization branches don't each recompute it
+    val p = pairs.select(col("a"), col("b")).persist()
+    val sym = p.union(p.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist()
     // Hybrid, like the searcher's driver-local kernel: near-dup graphs are
@@ -120,7 +122,7 @@ object Dedup {
       import spark.implicits._
       val edges = sym.select(col("a").cast("long"), col("b").cast("long"))
         .as[(Long, Long)].collect()
-      sym.unpersist()
+      sym.unpersist(); p.unpersist()
       val parent = mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -156,7 +158,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    sym.unpersist()
+    sym.unpersist(); p.unpersist()
     labels
   }
 }
