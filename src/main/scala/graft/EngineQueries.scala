@@ -22,6 +22,18 @@ object EngineQueries {
       new Searcher(s, idx).searchDF("data table merge", 10)
     }),
 
+    // native one-pass simhash64 Catalyst expression through its SQL surface
+    // (OpsSpec proves bit-identity with the pure-column form)
+    "q_simhash_native" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 100)
+        .createOrReplaceTempView("simhash_docs")
+      s.sql("""SELECT doc_id,
+               graft_simhash64(split(lower(trim(text)), '\\s+')) AS sig
+               FROM simhash_docs ORDER BY doc_id""")
+    }),
+
     // batched retrieval: one prefetch job for the batch, per-query kernels
     "ix_search_batch" -> ((s, dir) => {
       import s.implicits._

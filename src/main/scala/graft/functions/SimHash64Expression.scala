@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native Catalyst expression for SimHash-64 over a token array — ONE pass
+  * per row instead of the 64 `aggregate()` passes of the pure-column form in
+  * [[graft.ops.Dedup.simhash64]] (the preferred extension ladder: compose
+  * builtins if cheap enough, else a native Expression, never a Scala UDF).
+  *
+  * Bit-for-bit identical semantics to the column form:
+  *  - token hash = first 8 bytes of md5(token) as a big-endian long
+  *    (== (conv(hex[0,8],16,10) << 32) | conv(hex[8,8],16,10))
+  *  - first `maxTokens` tokens vote +1/-1 per bit; bit set iff votes > 0
+  *
+  * Interpreted eval (CodegenFallback): the md5 loop dominates either way;
+  * a doGenCode variant would only inline the loop shell.
+  */
+case class SimHash64(child: Expression, maxTokens: Int = 128)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash64 expects array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), maxTokens)
+    val votes = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) { if (votes(bit) > 0) sig |= (1L << bit); bit += 1 }
+    sig
+  }
+}
+
+object GraftFunctions {
+  /** Register graft's native expressions on a session; after this,
+    * `call_function("graft_simhash64", col)` / SQL `graft_simhash64(arr)`
+    * resolve to the one-pass expression.
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.registerFunction(
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head))
+  }
+}

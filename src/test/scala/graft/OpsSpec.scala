@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.GraftFunctions
 import graft.ops.{Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -24,6 +25,23 @@ class OpsSpec extends AnyFunSuite {
     assert(sigs(1L) == sigs(2L))
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+  }
+
+  test("native one-pass simhash64 expression == column form, bit for bit") {
+    GraftFunctions.register(spark)
+    val rows = spark.read.parquet(docsPath).limit(50)
+      .withColumn("w", split(lower(trim($"text")), "\\s+"))
+      .select(Dedup.simhash64($"w").as("columnar"),
+        call_function("graft_simhash64", $"w").as("native"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // SQL surface resolves too
+    spark.read.parquet(docsPath).limit(1).createOrReplaceTempView("sh_docs")
+    val viaSql = spark.sql(
+      "SELECT graft_simhash64(split(lower(trim(text)), '\\\\s+')) FROM sh_docs")
+      .collect()(0).getLong(0)
+    assert(viaSql != 0L)
   }
 
   test("connected components: chains close transitively, labels are min ids") {
