@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster[...] executor launch resolves the Scala version from build
+// dirs unless pinned; pinning lets ScalingBench spawn real executor JVMs
+run / envVars += ("SPARK_SCALA_VERSION" -> "2.13")
+Test / envVars += ("SPARK_SCALA_VERSION" -> "2.13")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -27,7 +27,13 @@ object Bench {
       .config("spark.executor.memory", s"${memMB - 512}m")
       .config("spark.executor.extraClassPath", sys.props("java.class.path"))
       .config("spark.executor.extraJavaOptions",
-        "--add-opens=java.base/java.lang=ALL-UNNAMED " +
+        // each executor JVM must size its service threads for ITS core slice,
+        // not the whole box — 8 JVMs each spawning nproc GC/JIT threads
+        // oversubscribes the box into thrashing (measured 3x slowdown)
+        s"-XX:ActiveProcessorCount=$coresPerWorker " +
+          s"-XX:ParallelGCThreads=$coresPerWorker " +
+          "-XX:CICompilerCount=2 " +
+          "--add-opens=java.base/java.lang=ALL-UNNAMED " +
           "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED " +
           "--add-opens=java.base/java.lang.reflect=ALL-UNNAMED " +
           "--add-opens=java.base/java.io=ALL-UNNAMED " +
@@ -95,10 +101,13 @@ object Bench {
     val cores = spark.sparkContext.defaultParallelism
     val out = java.nio.file.Files.createTempDirectory(s"graftbench$cores").toString
     val docs = CodeCorpus.generate(spark, nDocs, nRepos = 100, partitions = cores * 2)
+    val timing = sys.env.get("SPARK_GRAFT_TIMING").contains("1")
+    val sm = if (timing) Some(StageMetrics.install(spark)) else None
     val (_, tBuild) = time {
       IndexBuilder.build(spark, docs, out,
         IndexConfig(buckets = 64, saltRange = 1L << 16, shufflePartitions = cores * 2))
     }
+    sm.foreach(_.report(s"build nDocs=$nDocs cores=$cores"))
     val searcher = new Searcher(spark, out)
     // warm-up once (JIT + parquet footers), then measure per-query latency
     searcher.search(BenchQueries.head, 10)

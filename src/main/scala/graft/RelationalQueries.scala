@@ -634,7 +634,7 @@ object RelationalQueries {
 
     "q_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(len(string_split_regex(trim(text), '\s+'))) AS sum_tokens,
+        |  sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS sum_tokens,
         |  round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 

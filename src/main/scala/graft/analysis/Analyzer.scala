@@ -57,8 +57,33 @@ object Analyzer extends Serializable {
     * and strip combining marks (diacritic removal), re-normalized.
     */
   def fold(token: String): String = {
+    // Fast path: for pure-ASCII input, NFKC_Casefold is exactly A-Z -> a-z
+    // (ASCII is NFKC-invariant; simple case folding == lowercasing) and there
+    // are no combining marks to strip — skip ICU entirely. This is the
+    // dominant case for source-code tokens and removes the allocation-heavy
+    // normalize call from the tokenize hot path.
+    var asciiIn = true
+    var hasUpper = false
+    var k = 0
+    while (asciiIn && k < token.length) {
+      val c = token.charAt(k)
+      if (c >= 0x80) asciiIn = false
+      else if (c >= 'A' && c <= 'Z') hasUpper = true
+      k += 1
+    }
+    if (asciiIn) {
+      if (!hasUpper) return token
+      val chars = new Array[Char](token.length)
+      var m = 0
+      while (m < token.length) {
+        val c = token.charAt(m)
+        chars(m) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        m += 1
+      }
+      return new String(chars)
+    }
     val cf = nfkcCf.normalize(token)
-    // Fast path: pure ASCII after casefold needs no decomposition scan.
+    // Pure ASCII after casefold needs no decomposition scan.
     var ascii = true
     var i = 0
     while (ascii && i < cf.length) { if (cf.charAt(i) >= 0x80) ascii = false; i += 1 }

@@ -38,6 +38,37 @@ case class PostingBlock(
     docsDelta: Array[Byte],
     tfs: Array[Byte])
 
+/** A map-side pre-encoded posting block, the posting shuffle's row format.
+  * Because docId assignment is a rank over range-partitioned keys, every map
+  * partition holds a contiguous docId range, so blocks can be delta+varint
+  * encoded BEFORE the wide exchange: the term string crosses the shuffle once
+  * per (term, chunk) instead of once per posting, and docIds/tfs cross as
+  * packed varint bytes instead of longs — the round-1 measurement put term
+  * strings at ~70% of shuffled bytes. Chunks from different map partitions
+  * cover disjoint docId ranges, so the reduce side concatenates them into
+  * runs after an in-partition (term, field, salt, firstDoc) sort; no decode
+  * or re-encode happens on the reduce side.
+  */
+case class BlockChunk(
+    fieldId: Byte,
+    term: String,
+    salt: Int,
+    firstDoc: Long,
+    lastDoc: Long,
+    n: Int,
+    maxTf: Int,
+    minQuantLen: Int,
+    cf: Long,
+    docsDelta: Array[Byte],
+    tfs: Array[Byte])
+
+/** Fused-build emission row: the single tokenize pass over the corpus feeds
+  * BOTH the docstats table (one `stats` row per doc, written map-side with no
+  * shuffle) and the posting shuffle (`chunk` rows). Exactly one of the two is
+  * set.
+  */
+case class BuildEmit(chunk: Option[BlockChunk], stats: Option[DocStats])
+
 /** One posting-list run: all postings of (field, term) whose docIds fall in
   * the docId range of `salt` (range-salting — runs concatenate in salt order
   * into the globally docId-sorted posting list). `bucket` = hash(term) % B,

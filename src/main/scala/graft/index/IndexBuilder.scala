@@ -20,6 +20,11 @@ case class IndexConfig(
     blockSize: Int = 128,
     saltRange: Long = 1L << 20,
     shufflePartitions: Int = 32,
+    /** Docs between map-side chunk flushes: the pre-encoding combiner's
+      * memory bound is (distinct terms per chunkDocs docs) × a small growable
+      * buffer. Larger chunks amortize head-term strings over more postings;
+      * smaller chunks bound executor memory. */
+    chunkDocs: Int = 4096,
     /** Write postings under bucket=N partition directories. Query side prunes
       * whole directories per term (footer IO ∝ query terms, not corpus) and
       * reads either layout transparently (bucket is a partition column here,
@@ -105,12 +110,16 @@ object IndexBuilder {
   /** Tokenize one field value into (length, term -> tf) in first-seen order.
     * Shared by the posting flatMap and the docstats map so lengths agree.
     */
-  def termFreqs(field: String, text: String): (Int, mutable.LinkedHashMap[String, Int]) = {
+  def termFreqs(field: String, text: String): (Int, java.util.LinkedHashMap[String, Integer]) = {
     val toks = Analyzer.analyzeField(field, text)
-    val m = mutable.LinkedHashMap.empty[String, Int]
+    // java LinkedHashMap + Integer cache: no per-token Option/Some allocation
+    // (tf values <= 127 box for free), insertion order preserved
+    val m = new java.util.LinkedHashMap[String, Integer](math.max(8, toks.length * 2))
     var i = 0
     while (i < toks.length) {
-      m.updateWith(toks(i)) { c => Some(c.getOrElse(0) + 1) }
+      val t = toks(i)
+      val c = m.get(t)
+      m.put(t, if (c == null) Integer.valueOf(1) else Integer.valueOf(c.intValue + 1))
       i += 1
     }
     (toks.length, m)
@@ -139,80 +148,73 @@ object IndexBuilder {
         timed("docIds")(withDocIds(spark, docs, cfg.shufflePartitions))
       else null
 
-    // ---- tokens: ONE tokenize pass over content feeds BOTH docstats (via
-    // per-doc length aggregation, map-side combined so the extra shuffle is
-    // one tiny row per doc) and the posting build. content is decompressed
-    // from the columnar cache exactly once. ----
+    // ---- fused tokenize: ONE pass over content feeds BOTH the docstats
+    // table (map-side written stats rows — no shuffle at all) and the posting
+    // shuffle (map-side pre-encoded BlockChunks). content is decompressed
+    // from the columnar cache exactly once, tokenized exactly once. ----
     val docstatsPath = s"$outDir/docstats"
     val postingsPath = s"$outDir/postings"
     val lineagePath = s"$outDir/lineage"
     val saltRange = cfg.saltRange
     val buckets = cfg.buckets
+    val blockSize = cfg.blockSize
+    val chunkDocs = cfg.chunkDocs
 
-    lazy val tokens = withIds.select("docId", "repo", "path", "content")
-      .as[(Long, String, String, String)]
-      .flatMap { case (docId, repo, path, content) =>
-        val salt = (docId / saltRange).toInt
-        // narrow shuffle row: field as a 1-byte id (0=content 1=path 2=repo)
-        // and NO bucket column (recomputed from the term at encode time) —
-        // the term string dominates the wide exchange; everything else is
-        // kept minimal
-        val out = mutable.ArrayBuffer.empty[(Byte, String, Int, Long, Int, Int)]
-        var fi = 0
-        val fieldVals = Array(("content", content), ("path", path), ("repo", repo))
-        while (fi < fieldVals.length) {
-          val (field, text) = fieldVals(fi)
-          val (len, tfs) = termFreqs(field, text)
-          val quantLen = SmallFloat.quantizeLength(len)
-          tfs.foreach { case (term, tf) =>
-            out += ((fi.toByte, term, salt, docId, tf, quantLen))
+    lazy val emitted: Dataset[BuildEmit] = withIds
+      .select("docId", "sha", "repo", "path", "commit", "lang", "content")
+      .as[(Long, String, String, String, String, String, String)]
+      .mapPartitions { it =>
+        val enc = new ChunkEncoder(blockSize, saltRange, chunkDocs)
+        it.flatMap { case (docId, sha, repo, path, commit, lang, content) =>
+          val (chunks, stats) = enc.addDoc(docId, sha, repo, path, commit, lang, content)
+          chunks.map(c => BuildEmit(Some(c), None)) ++
+            Iterator.single(BuildEmit(None, Some(stats)))
+        } ++
+          new Iterator[BuildEmit] { // lazily flush AFTER input exhausts
+            private var flushed = false
+            private var v: Iterator[BlockChunk] = Iterator.empty
+            def hasNext: Boolean = {
+              if (!flushed) { v = enc.flushAll().iterator; flushed = true }
+              v.hasNext
+            }
+            def next(): BuildEmit = BuildEmit(Some(v.next()), None)
           }
-          fi += 1
-        }
-        out
       }
-      .toDF("fieldId", "term", "salt", "docId", "tf", "quantLen")
-    // NOTE deliberately NOT persisted: materializing the token stream as a
-    // columnar cache costs more than tokenizing twice (measured); each
-    // consumer recomputes tokens from the (cached, column-pruned) corpus.
+    // persist only when both stages consume it (a resumed postings-only build
+    // reads the fused pass once — no point caching)
+    val needBoth = needDocstats && needPostings
+    lazy val src: Dataset[BuildEmit] =
+      if (needBoth) emitted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else emitted
 
-    // ---- stage: docstats (narrow columns only — the columnar cache prunes
-    // content entirely; lengths come from the token stream) ----
+    // ---- stage: docstats (map-side rows out of the fused pass; the timed
+    // cost here includes materializing the fused tokenize+encode cache) ----
     if (needDocstats) timed("docstats") {
-      val lens = tokens
-        .groupBy($"docId")
-        .agg(
-          sum(when($"fieldId" === 0, $"tf").otherwise(0L)).as("lenContent"),
-          sum(when($"fieldId" === 1, $"tf").otherwise(0L)).as("lenPath"),
-          sum(when($"fieldId" === 2, $"tf").otherwise(0L)).as("lenRepo"))
-      withIds.select($"docId", $"repo", $"path", $"commit", $"lang", $"sha",
-          ($"docId" / saltRange).cast("int").as("salt"))
-        .join(lens, Seq("docId"), "left")
-        .na.fill(0L, Seq("lenContent", "lenPath", "lenRepo"))
-        .select($"docId", $"repo", $"path", $"commit", $"lang", $"sha", $"salt",
-          $"lenContent".cast("int").as("lenContent"),
-          $"lenPath".cast("int").as("lenPath"),
-          $"lenRepo".cast("int").as("lenRepo"))
-        .write.mode("overwrite").parquet(docstatsPath)
+      src.flatMap(_.stats).write.mode("overwrite").parquet(docstatsPath)
       snap.markStageDone("docstats")
     }
 
     // ---- stage: posting runs + per-partition lineage ----
+    //
+    // Shuffle format: map-side pre-encoded [[BlockChunk]]s, not raw postings.
+    // Each map partition holds a contiguous docId range (withDocIds rank), so
+    // per-(field, term) blocks delta+varint encode BEFORE the exchange and
+    // the reduce side only sorts + concatenates. This removes the per-posting
+    // term string (~70% of round-1 shuffle bytes) and the per-posting row
+    // overhead from the one wide shuffle: a head term crosses the wire
+    // ceil(df_chunk/blockSize) times per chunk instead of df times.
     if (needPostings) timed("postings") {
-      val blockSize = cfg.blockSize
-
-      val sorted = tokens
+      val sorted = src.flatMap(_.chunk)
         .repartition(cfg.shufflePartitions, $"term", $"fieldId", $"salt")
-        // term first: the string sort-prefix discriminates (a 3-valued byte
-        // first would force full-row comparisons), and the output lands
-        // term-major for parquet row-group pruning
-        .sortWithinPartitions($"term", $"fieldId", $"salt", $"docId")
-        .as[(Byte, String, Int, Long, Int, Int)]
+        // term first: the string sort-prefix discriminates; firstDoc last
+        // restores global docId order (chunks cover disjoint ranges)
+        .sortWithinPartitions($"term", $"fieldId", $"salt", $"firstDoc")
+        .as[BlockChunk]
 
       val encoded: Dataset[(Option[PostingRun], Option[LineageRow])] =
         sorted.mapPartitions { it =>
           val pid = TaskContext.getPartitionId()
-          val enc = new RunEncoder(blockSize)
+          val asm = new RunAssembler(buckets)
           val sha = java.security.MessageDigest.getInstance("SHA-256")
           var termLo: String = null
           var termHi: String = null
@@ -228,15 +230,12 @@ object IndexBuilder {
             }
             r
           }
-          val fieldNames = Array("content", "path", "repo")
           val runs: Iterator[PostingRun] =
-            it.flatMap { case (fid, t, s, d, tf, ql) =>
-              enc.add(bucketOf(t, buckets), fieldNames(fid), t, s, d, tf, ql)
-            } ++
+            it.flatMap(asm.add) ++
               new Iterator[PostingRun] { // lazily flush AFTER input exhausts
                 private var flushed = false
                 private var v: Option[PostingRun] = None
-                def hasNext: Boolean = { if (!flushed) { v = enc.flush(); flushed = true }; v.nonEmpty }
+                def hasNext: Boolean = { if (!flushed) { v = asm.flush(); flushed = true }; v.nonEmpty }
                 def next(): PostingRun = { val r = v.get; v = None; r }
               }
           runs.map(r => (Some(record(r)), Option.empty[LineageRow])) ++
@@ -264,6 +263,7 @@ object IndexBuilder {
       encoded.unpersist()
       snap.markStageDone("postings")
     }
+    if (needBoth) src.unpersist()
     while (!pendingCaches.isEmpty) { Option(pendingCaches.poll()).foreach(_.unpersist()) }
 
     // ---- stage: dictionary (small aggregate over runs) ----
@@ -295,54 +295,135 @@ object IndexBuilder {
   }
 }
 
-/** Incremental run encoder: add() postings in (bucket, field, term, salt,
-  * docId) order; returns the finished previous run whenever the key changes.
-  * Blocks cut at `blockSize` postings; docIds delta+varint encoded per block
-  * with absolute first id ([[graft.core.Codec]]). Constant memory per run.
+/** Map-side pre-encoding combiner. Feed docs in increasing docId order (the
+  * natural withDocIds partition order); per (field, term) it accumulates
+  * (docId, tf) in a small growable buffer and emits a finished
+  * delta+varint-encoded [[BlockChunk]] whenever the buffer reaches
+  * `blockSize`. Everything buffered is flushed every `chunkDocs` docs
+  * (bounding memory to the chunk's distinct-term count × a tail buffer) and
+  * at salt boundaries (blocks never span salts). Buffers grow 4 → blockSize
+  * by doubling, so the Zipf tail (df 1–2 per chunk) pays ~4 slots, not 128.
   */
-final class RunEncoder(blockSize: Int) {
-  private var bucket = -1
-  private var field: String = _
+final class ChunkEncoder(blockSize: Int, saltRange: Long, chunkDocs: Int) {
+  private val fieldNames = Array("content", "path", "repo")
+
+  private final class Buf {
+    var docs = new Array[Long](4)
+    var tfs = new Array[Int](4)
+    var n = 0
+    var maxTf = 0
+    var minQL = Int.MaxValue
+    var cf = 0L
+    def add(docId: Long, tf: Int, ql: Int): Unit = {
+      if (n == docs.length) {
+        val cap = math.min(blockSize, docs.length * 2)
+        docs = java.util.Arrays.copyOf(docs, cap)
+        tfs = java.util.Arrays.copyOf(tfs, cap)
+      }
+      docs(n) = docId; tfs(n) = tf; n += 1
+      if (tf > maxTf) maxTf = tf
+      if (ql < minQL) minQL = ql
+      cf += tf
+    }
+    def reset(): Unit = { n = 0; maxTf = 0; minQL = Int.MaxValue; cf = 0L }
+  }
+
+  private val bufs = Array.fill(3)(mutable.HashMap.empty[String, Buf])
+  private var curSalt = -1
+  private var docsSinceFlush = 0
+
+  private def cut(fi: Int, term: String, b: Buf): BlockChunk = {
+    val c = BlockChunk(fi.toByte, term, curSalt,
+      firstDoc = b.docs(0), lastDoc = b.docs(b.n - 1), n = b.n,
+      maxTf = b.maxTf, minQuantLen = b.minQL, cf = b.cf,
+      docsDelta = Codec.encodeDocIds(java.util.Arrays.copyOf(b.docs, b.n)),
+      tfs = Codec.encodeTfs(java.util.Arrays.copyOf(b.tfs, b.n)))
+    b.reset()
+    c
+  }
+
+  private def flushInto(out: mutable.ArrayBuffer[BlockChunk]): Unit = {
+    var fi = 0
+    while (fi < 3) {
+      bufs(fi).foreach { case (term, b) => if (b.n > 0) out += cut(fi, term, b) }
+      bufs(fi).clear()
+      fi += 1
+    }
+    docsSinceFlush = 0
+  }
+
+  /** Tokenize one doc into posting buffers; returns any blocks completed by
+    * this doc plus the doc's stats row (the same tokenize pass feeds both).
+    */
+  def addDoc(docId: Long, sha: String, repo: String, path: String,
+             commit: String, lang: String, content: String): (Iterator[BlockChunk], DocStats) = {
+    val out = mutable.ArrayBuffer.empty[BlockChunk]
+    val salt = (docId / saltRange).toInt
+    if (salt != curSalt) {
+      if (docsSinceFlush > 0) flushInto(out)
+      curSalt = salt
+    }
+    val fieldVals = Array(content, path, repo)
+    val lens = new Array[Int](3)
+    var fi = 0
+    while (fi < 3) {
+      val (len, tfs) = IndexBuilder.termFreqs(fieldNames(fi), fieldVals(fi))
+      lens(fi) = len
+      val ql = SmallFloat.quantizeLength(len)
+      val eit = tfs.entrySet().iterator()
+      while (eit.hasNext) {
+        val e = eit.next()
+        val b = bufs(fi).getOrElseUpdate(e.getKey, new Buf)
+        b.add(docId, e.getValue.intValue, ql)
+        if (b.n == blockSize) out += cut(fi, e.getKey, b)
+      }
+      fi += 1
+    }
+    docsSinceFlush += 1
+    if (docsSinceFlush >= chunkDocs) flushInto(out)
+    (out.iterator, DocStats(docId, repo, path, commit, lang, sha, salt,
+      lens(0), lens(1), lens(2)))
+  }
+
+  def flushAll(): Seq[BlockChunk] = {
+    val out = mutable.ArrayBuffer.empty[BlockChunk]
+    if (docsSinceFlush > 0 || bufs.exists(_.nonEmpty)) flushInto(out)
+    out.toSeq
+  }
+}
+
+/** Reduce-side run assembler: feed [[BlockChunk]]s in (term, fieldId, salt,
+  * firstDoc) order; concatenates the pre-encoded blocks of one
+  * (field, term, salt) into a [[PostingRun]] — chunks cover disjoint docId
+  * ranges, so no decode or re-encode happens here. Returns the finished
+  * previous run whenever the key changes.
+  */
+final class RunAssembler(buckets: Int) {
+  private val fieldNames = Array("content", "path", "repo")
+  private var fieldId: Byte = -1
   private var term: String = _
   private var salt = -1
   private val blocks = mutable.ArrayBuffer.empty[PostingBlock]
-  private val docBuf = new Array[Long](blockSize)
-  private val tfBuf = new Array[Int](blockSize)
-  private var n = 0
-  private var runDf = 0L
-  private var runCf = 0L
-  private var runMaxTf = 0
-  private var blkMaxTf = 0
-  private var blkMinQL = Int.MaxValue
-
-  private def cutBlock(): Unit = {
-    if (n == 0) return
-    blocks += PostingBlock(
-      firstDoc = docBuf(0), lastDoc = docBuf(n - 1), n = n,
-      maxTf = blkMaxTf, minQuantLen = blkMinQL,
-      docsDelta = Codec.encodeDocIds(java.util.Arrays.copyOf(docBuf, n)),
-      tfs = Codec.encodeTfs(java.util.Arrays.copyOf(tfBuf, n)))
-    n = 0; blkMaxTf = 0; blkMinQL = Int.MaxValue
-  }
+  private var df = 0L
+  private var cf = 0L
+  private var maxTf = 0
 
   private def finishRun(): PostingRun = {
-    cutBlock()
-    val run = PostingRun(bucket, field, term, salt, runDf, runCf, runMaxTf, blocks.toArray)
-    blocks.clear(); runDf = 0; runCf = 0; runMaxTf = 0
+    val run = PostingRun(IndexBuilder.bucketOf(term, buckets), fieldNames(fieldId),
+      term, salt, df, cf, maxTf, blocks.toArray)
+    blocks.clear(); df = 0; cf = 0; maxTf = 0
     run
   }
 
-  /** Returns Some(previous finished run) when the key changes. */
-  def add(b: Int, f: String, t: String, s: Int, docId: Long, tf: Int, quantLen: Int): Option[PostingRun] = {
-    val boundary = term != null && (b != bucket || f != field || t != term || s != salt)
+  def add(c: BlockChunk): Option[PostingRun] = {
+    val boundary = term != null && (c.term != term || c.fieldId != fieldId || c.salt != salt)
     val finished = if (boundary) Some(finishRun()) else None
-    if (term == null || boundary) { bucket = b; field = f; term = t; salt = s }
-    docBuf(n) = docId; tfBuf(n) = tf
-    if (tf > blkMaxTf) blkMaxTf = tf
-    if (tf > runMaxTf) runMaxTf = tf
-    if (quantLen < blkMinQL) blkMinQL = quantLen
-    n += 1; runDf += 1; runCf += tf
-    if (n == blockSize) cutBlock()
+    if (term == null || boundary) { fieldId = c.fieldId; term = c.term; salt = c.salt }
+    blocks += PostingBlock(c.firstDoc, c.lastDoc, c.n, c.maxTf, c.minQuantLen,
+      c.docsDelta, c.tfs)
+    df += c.n
+    cf += c.cf
+    if (c.maxTf > maxTf) maxTf = c.maxTf
     finished
   }
 

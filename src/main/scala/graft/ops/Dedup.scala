@@ -51,8 +51,11 @@ object Dedup {
     val toks = slice(words, 1, maxTokens)
     val hashes = transform(toks, t => tokenHash64(t))
     val bits = transform(sequence(lit(0), lit(63)), b => {
+      // null tokens cast no vote (0), matching the native SimHash64
+      // expression's null-element skip bit for bit
       val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        (acc, h) => acc + when(h.isNull, 0)
+          .otherwise(when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
       when(votes > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
     })
     aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
@@ -62,22 +65,53 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidate pairs: band the 64 bits into 4x16-bit keys;
-    * docs sharing any band key are candidates, then filter by exact hamming
-    * distance <= maxHamming. Banding makes the self-join an equi-join on
-    * (band, key) — shuffle-friendly; no quadratic blowup.
+  /** SimHash near-dup candidate pairs with recall guaranteed by pigeonhole:
+    * the 64 signature bits are split into `maxHamming + 1` contiguous bands,
+    * so any pair within hamming distance `maxHamming` must agree exactly on
+    * at least one band. Docs sharing a (band, key) are candidates, then the
+    * exact hamming filter runs on the pair. Banding makes the self-join an
+    * equi-join on (band, key) — shuffle-friendly, no quadratic blowup —
+    * EXCEPT for hot buckets (degenerate/short docs collapsing to the same
+    * band key): buckets larger than `maxBucket` are dropped entirely
+    * (deterministic) and the drop is logged, trading bounded recall loss for
+    * a bounded join. Set `maxBucket = Int.MaxValue` for exact behavior.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
+    // pigeonhole: maxHamming flipped bits can corrupt at most maxHamming of
+    // the (maxHamming + 1) bands, so one band always matches exactly
+    val nBands = math.min(maxHamming + 1, 32)
+    val base = 64 / nBands
+    val extra = 64 % nBands
+    val widths = Array.tabulate(nBands)(i => base + (if (i < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val withSig = df.select(col(idCol).as("id"),
       simhash64(split(lower(trim(col(textCol))), "\\s+")).as("sig"))
+      .persist()
+    val bandStructs = (0 until nBands).map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
+      struct(lit(i).as("band"),
+        call_function("shiftright", col("sig"), lit(offsets(i))).bitwiseAND(lit(mask)).as("key"))
+    }
     val banded = withSig.select(col("id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(3)),
-        b => struct(b.as("band"),
-          call_function("shiftright", col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key")))).as("bk"))
+      explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
-    val l = banded.select(col("id").as("a"), col("sig").as("siga"), col("band"), col("key"))
-    val r = banded.select(col("id").as("b"), col("sig").as("sigb"), col("band"), col("key"))
+    val hot = banded.groupBy("band", "key").count()
+      .filter(col("count") > maxBucket)
+      .select(col("band"), col("key"), col("count"))
+    val hotRows = hot.collect() // hot buckets are rare by construction
+    if (hotRows.nonEmpty) {
+      val dropped = hotRows.map(_.getLong(2)).sum
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"simhashPairs: dropping ${hotRows.length} hot (band,key) buckets " +
+          s"(> $maxBucket members, $dropped rows total); recall is bounded-lossy")
+    }
+    val ok =
+      if (hotRows.isEmpty) banded
+      else banded.join(
+        broadcast(hot.select(col("band"), col("key"))), Seq("band", "key"), "left_anti")
+    val l = ok.select(col("id").as("a"), col("sig").as("siga"), col("band"), col("key"))
+    val r = ok.select(col("id").as("b"), col("sig").as("sigb"), col("band"), col("key"))
     l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), hamming64(col("siga"), col("sigb")).as("hamming"))
       .distinct()
@@ -147,18 +181,32 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val msgs = sym.join(labels.withColumnRenamed("node", "b"), "b")
         .select(col("a").as("node"), col("label"))
-      val next = labels.union(msgs)
+      val prop = labels.union(msgs)
         .groupBy("node").agg(min("label").as("label"))
+        .persist()
+      // pointer jumping: label <- label(label). Halves remaining path length
+      // each round, so convergence is O(log diameter) instead of O(diameter)
+      val next = prop.as("x")
+        .join(prop.as("y"), col("x.label") === col("y.node"), "left")
+        .select(col("x.node").as("node"),
+          coalesce(col("y.label"), col("x.label")).as("label"))
         .persist()
       val changed = next
         .join(labels.withColumnRenamed("label", "prev"), "node")
         .filter(col("label") < col("prev")).count()
+      prop.unpersist()
       labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
     sym.unpersist(); p.unpersist()
+    // never hand back silently-split clusters: with pointer jumping 20
+    // rounds covers diameters up to ~2^20, so hitting this means the input
+    // graph shape is far outside near-dup territory
+    require(converged,
+      s"connectedComponents: not converged after $maxIter rounds; " +
+        "raise maxIter or inspect the edge distribution")
     labels
   }
 }

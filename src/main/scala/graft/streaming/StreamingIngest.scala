@@ -74,6 +74,9 @@ object StreamingIngest {
     else root.listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("delta-"))
       .filter(f => new Snapshot(f.getPath).currentId >= 0)
-      .map(_.getPath).sorted.toSeq
+      // numeric sort by batch id: lexicographic would order delta-10 before
+      // delta-2 and silently permute MultiSearcher's global docId space
+      .sortBy(f => f.getName.stripPrefix("delta-").toLong)
+      .map(_.getPath).toSeq
   }
 }

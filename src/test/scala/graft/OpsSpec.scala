@@ -42,6 +42,17 @@ class OpsSpec extends AnyFunSuite {
       "SELECT graft_simhash64(split(lower(trim(text)), '\\\\s+')) FROM sh_docs")
       .collect()(0).getLong(0)
     assert(viaSql != 0L)
+    // arrays containing null elements: both forms must cast no vote for the
+    // null (native skips it; column form guards the vote with isNull)
+    val withNulls = Seq(
+      (1, Seq("alpha", null, "beta", "gamma")),
+      (2, Seq(null, null, "alpha")),
+      (3, Seq[String](null))).toDF("id", "w")
+      .select(Dedup.simhash64($"w").as("columnar"),
+        call_function("graft_simhash64", $"w").as("native"))
+      .collect()
+    withNulls.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"null-element divergence: columnar=${r.getLong(0)} native=${r.getLong(1)}"))
   }
 
   test("connected components: chains close transitively, labels are min ids") {
