@@ -55,8 +55,9 @@ object SparkEntry {
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ EngineQueries.queries
+    RelationalQueries.queries ++ EngineQueries.queries ++ UrsusRecordQueries.queries
 
   /** DuckDB-equivalent SQL per query (same column names, same ordering). */
-  def oracleSql: Map[String, String] = RelationalQueries.oracleSql
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracleSql ++ UrsusRecordQueries.oracleSql
 }
