@@ -129,27 +129,50 @@ object EngineQueries {
 
     // engine-vs-oracle agreement, surfaced as data (self-check the driver can
     // see): per query, top-1 docId from both paths and whether full top-10
-    // (ids AND scores) agree
+    // (ids AND scores) agree. The oracle side is fully DISTRIBUTED — df via
+    // one map+count job, per-doc scoring map-only, top-k via a bounded sort —
+    // so the check runs at any sf without a corpus collect (round 1 collected
+    // the whole corpus to the driver here).
     "ix_oracle_agreement" -> ((s, dir) => {
       import s.implicits._
       val idx = SparkEntry.indexFor(s, dir)
       val searcher = new Searcher(s, idx)
-      val docs = SparkEntry.documentsAsCode(s, dir).collect()
-      val byKey = s.read.parquet(s"$idx/docstats")
-        .select("docId", "repo", "path").as[(Long, String, String)].collect()
-        .map { case (id, r, p) => (r, p) -> id }.toMap
-      val oracleDocs = docs.map { d =>
-        ExactScorer.OracleDoc(byKey((d.repo, d.path)),
-          Map("content" -> d.content, "path" -> d.path, "repo" -> d.repo))
-      }.toSeq
+      val fields = Seq("content", "path", "repo")
+      val n = searcher.meta.nDocs
+      val avgLen = searcher.meta.avgLen
+      val joined = SparkEntry.documentsAsCode(s, dir).toDF()
+        .join(s.read.parquet(s"$idx/docstats").select("docId", "repo", "path"),
+          Seq("repo", "path"))
+        .select("docId", "repo", "path", "content")
+        .as[(Long, String, String, String)]
+        .persist()
       val qs = Seq("data table merge", "group query row", "spark window stream",
         "data table merge sort join filter", "src3")
       val rows = qs.map { q =>
+        val cls = graft.query.QueryPlan.clauses(q, fields)
+        val needed = cls.flatMap(_.perField.toSeq).toSet.toSeq
+        // independent df (direct counting over raw docs, distributed)
+        val dfMap = joined.flatMap { case (_, repo, path, content) =>
+          val text = Map("content" -> content, "path" -> path, "repo" -> repo)
+          needed.filter { case (f, t) =>
+            graft.analysis.Analyzer.analyzeField(f, text(f)).contains(t) }
+        }.groupByKey(identity).count().collect().toMap
+        val minMatch = graft.core.BM25.minShouldMatch(cls.length)
+        val o = joined.flatMap { case (id, repo, path, content) =>
+          ExactScorer.scoreDoc(
+            Map("content" -> content, "path" -> path, "repo" -> repo),
+            cls, dfMap, n, avgLen, minMatch).map(sc => (id, sc)).toSeq
+        }(org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
+          .toDF("docId", "score")
+          .orderBy(col("score").desc, col("docId"))
+          .limit(10).as[(Long, Double)].collect()
+          .map { case (id, sc) => graft.core.Hit(id, sc) }.toSeq
         val e = searcher.search(q, 10).toSeq
-        val o = ExactScorer.topK(oracleDocs, q, 10).toSeq
         (q, e.headOption.map(_.docId).getOrElse(-1L),
           o.headOption.map(_.docId).getOrElse(-1L), e == o)
       }
+      joined.unpersist()
       rows.toDF("query", "engine_top1", "oracle_top1", "rank_identical")
         .orderBy(col("query"))
     })

@@ -2,7 +2,7 @@ package graft.oracle
 
 import graft.analysis.Analyzer
 import graft.core._
-import graft.query.QueryPlan
+import graft.query.{Clause, QueryPlan}
 
 import scala.collection.mutable
 
@@ -23,6 +23,40 @@ import scala.collection.mutable
 object ExactScorer {
 
   case class OracleDoc(docId: Long, fields: Map[String, String])
+
+  /** Score ONE document given global statistics — the pure, serializable
+    * unit the distributed oracle maps over executors (no corpus ever reaches
+    * the driver; see EngineQueries `ix_oracle_agreement`). Semantics are
+    * identical to [[topK]]'s inner loop: DisMax over fields per word, mm
+    * gate, SmallFloat-quantized length norms.
+    */
+  def scoreDoc(fieldText: Map[String, String], clauses: Array[Clause],
+               df: Map[(String, String), Long], n: Long,
+               avgLen: Map[String, Double], minMatch: Int,
+               fields: Seq[String] = Seq("content", "path", "repo")): Option[Double] = {
+    var matched = 0
+    var score = 0.0
+    clauses.foreach { c =>
+      val fieldScores = fields.map { f =>
+        c.perField.get(f) match {
+          case Some(term) if df.contains((f, term)) =>
+            val toks = Analyzer.analyzeField(f, fieldText.getOrElse(f, ""))
+            val tf = toks.count(_ == term)
+            if (tf > 0) {
+              val quantLen = SmallFloat.quantizeLength(toks.length)
+              BM25.termScore(BM25.idf(n, df((f, term))), tf,
+                BM25.lengthNorm(quantLen, avgLen(f)))
+            } else 0.0
+          case _ => 0.0
+        }
+      }.toArray
+      if (fieldScores.exists(_ > 0)) {
+        matched += 1
+        score += BM25.dismax(fieldScores)
+      }
+    }
+    if (matched >= minMatch && matched > 0) Some(score) else None
+  }
 
   def topK(docs: Seq[OracleDoc], query: String, k: Int,
            fields: Seq[String] = Seq("content", "path", "repo")): Array[Hit] = {

@@ -24,19 +24,43 @@ import scala.collection.mutable
 class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
   import spark.implicits._
 
-  private case class Segment(dir: String, meta: IndexMeta, offset: Long,
-                             dict: Map[(String, String), Long])
+  /** Per-segment state. Dictionary lookups go through the same probe-or-
+    * collect [[DictProbe]] as the single-index Searcher (vocab never forced
+    * to the driver); the dense norm table is built lazily ONCE per segment
+    * and reused across queries (round 1 paid a full docstats collect per
+    * query per segment — MultiSearcherSpec now gates one read per segment).
+    */
+  private final class Segment(val dir: String, val meta: IndexMeta, val offset: Long) {
+    val dict = new DictProbe(spark, s"$dir/dictionary", DictionaryMaxDriverTerms)
+    lazy val norms: Array[Array[Byte]] = {
+      normBuilds.incrementAndGet()
+      val n = meta.nDocs.toInt
+      val lens = Array.ofDim[Byte](3, n)
+      spark.read.parquet(s"$dir/docstats")
+        .select($"docId", $"lenContent", $"lenPath", $"lenRepo")
+        .as[(Long, Int, Int, Int)].collect()
+        .foreach { case (id, lc, lp, lr) =>
+          lens(0)(id.toInt) = SmallFloat.intToByte4(lc)
+          lens(1)(id.toInt) = SmallFloat.intToByte4(lp)
+          lens(2)(id.toInt) = SmallFloat.intToByte4(lr)
+        }
+      lens
+    }
+  }
 
   val DefaultFields: Seq[String] = Seq("content", "path", "repo")
 
-  private val segments: Seq[Segment] = {
+  /** Same semantics as Searcher.DictionaryMaxDriverTerms; set before use. */
+  var DictionaryMaxDriverTerms: Long = 1L << 22
+
+  /** Norm-table builds (tests assert one docstats read per segment). */
+  private[graft] val normBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private lazy val segments: Seq[Segment] = {
     var offset = 0L
     segmentDirs.map { dir =>
       val meta = IndexMeta.fromProps(new Snapshot(dir).readProps())
-      val dict = spark.read.parquet(s"$dir/dictionary")
-        .select($"field", $"term", $"df").collect()
-        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
-      val seg = Segment(dir, meta, offset, dict)
+      val seg = new Segment(dir, meta, offset)
       offset += meta.nDocs
       seg
     }
@@ -55,14 +79,17 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     sums.map { case (f, sum) => f -> sum / totalDocs }.toMap
   }
 
-  def globalDf(key: (String, String)): Long = segments.map(_.dict.getOrElse(key, 0L)).sum
+  def globalDf(key: (String, String)): Long =
+    segments.map(_.dict.dfOf(Set(key)).getOrElse(key, 0L)).sum
 
   def search(query: String, k: Int, fields: Seq[String] = DefaultFields): Array[Hit] = {
     val cls = QueryPlan.clauses(query, fields)
     if (cls.isEmpty) return Array.empty
     val needed = cls.flatMap(_.perField.toSeq).toSet
+    // one batched df resolution per segment (probe- or driver-cached)
+    val perSegDf = segments.map(_.dict.dfOf(needed))
     val idfMap = needed.toSeq
-      .map(k2 => k2 -> globalDf(k2)).filter(_._2 > 0)
+      .map(k2 => k2 -> perSegDf.map(_.getOrElse(k2, 0L)).sum).filter(_._2 > 0)
       .map { case (k2, df) => k2 -> BM25.idf(totalDocs, df) }.toMap
     if (idfMap.isEmpty) return Array.empty
     val minMatch = BM25.minShouldMatch(cls.length)
@@ -80,17 +107,7 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
           $"term".isin(termList: _*) && $"field".isin(fieldList: _*))
         .as[PostingRun].collect()
       if (runs.nonEmpty) {
-        // segment-local dense norm table
-        val n = seg.meta.nDocs.toInt
-        val lens = Array.ofDim[Byte](3, n)
-        spark.read.parquet(s"${seg.dir}/docstats")
-          .select($"docId", $"lenContent", $"lenPath", $"lenRepo")
-          .as[(Long, Int, Int, Int)].collect()
-          .foreach { case (id, lc, lp, lr) =>
-            lens(0)(id.toInt) = SmallFloat.intToByte4(lc)
-            lens(1)(id.toInt) = SmallFloat.intToByte4(lp)
-            lens(2)(id.toInt) = SmallFloat.intToByte4(lr)
-          }
+        val lens = seg.norms // lazily built once per segment, query-reused
         runs.groupBy(_.salt).valuesIterator.foreach { rs =>
           Kernel.scoreSalt(rs, (fi, d) => SmallFloat.byte4ToInt(lens(fi)(d.toInt)),
             cls, fieldArr, idfMap, avg, minMatch, k)

@@ -137,15 +137,20 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
   val meta: IndexMeta = IndexMeta.fromProps(new Snapshot(indexDir).readProps())
   val DefaultFields: Seq[String] = Seq("content", "path", "repo")
 
-  /** Full dictionary cached on the driver (vocab-sized; for corpora where
-    * this no longer fits, flip to per-query parquet-filtered lookups).
+  /** Vocabulary cutoff below which the whole dictionary is collected once to
+    * the driver (lowest latency). Above it — code corpora at 100x scale have
+    * vocabularies that must never be driver-collected — lookups become
+    * per-query pushed-filter probes with an LRU of resolved dfs
+    * ([[DictProbe]]). Answer-identical either way (EngineSpec gates with
+    * `DictionaryMaxDriverTerms = 0`). Set BEFORE the first query.
     */
-  lazy val dictionary: Map[(String, String), Long] =
-    spark.read.parquet(s"$indexDir/dictionary")
-      .select($"field", $"term", $"df")
-      .collect()
-      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
-      .toMap
+  var DictionaryMaxDriverTerms: Long = 1L << 22
+
+  private lazy val dict = new DictProbe(spark, s"$indexDir/dictionary", DictionaryMaxDriverTerms)
+  private[graft] def dictProbes: Long = dict.probes.get()
+
+  /** df lookup for a key set (probe- or driver-cached per the threshold). */
+  def dfOf(keys: Set[(String, String)]): Map[(String, String), Long] = dict.dfOf(keys)
 
   /** Dense norms broadcast once per searcher. */
   lazy val normsBc: Broadcast[NormTable] = {
@@ -167,16 +172,19 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
   /** Re-used postings DataFrame (file index cached across queries). */
   private lazy val postingsDF: DataFrame = spark.read.parquet(s"$indexDir/postings")
 
+  /** Parsed clauses + idf map + mm gate + exact posting volume (sum of dfs —
+    * the driver-vs-distributed kernel selector, free from the same lookup).
+    */
   private def plan(query: String, fields: Seq[String])
-      : Option[(Array[Clause], Map[(String, String), Double], Int)] = {
+      : Option[(Array[Clause], Map[(String, String), Double], Int, Long)] = {
     val cls = QueryPlan.clauses(query, fields)
     if (cls.isEmpty) return None
     val needed = cls.flatMap(_.perField.toSeq).toSet
-    val dfMap = needed.toSeq.flatMap(k => dictionary.get(k).map(k -> _)).toMap
+    val dfMap = dict.dfOf(needed)
     if (dfMap.isEmpty) return None
     val n = meta.nDocs
     val idfMap = dfMap.map { case (k2, df) => k2 -> BM25.idf(n, df) }
-    Some((cls, idfMap, BM25.minShouldMatch(cls.length)))
+    Some((cls, idfMap, BM25.minShouldMatch(cls.length), dfMap.valuesIterator.sum))
   }
 
   private def filteredRuns(keys: Set[(String, String)]): Dataset[PostingRun] = {
@@ -224,13 +232,6 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
   def search(query: String, k: Int, fields: Seq[String] = DefaultFields): Array[Hit] =
     searchBroadcast(query, k, fields)
 
-  /** Posting volume estimate from the dictionary (df is exact): used to pick
-    * the driver-local kernel (lowest latency, one collect job) vs the
-    * distributed grouped kernel.
-    */
-  private def estimatedPostings(idfMap: Map[(String, String), Double]): Long =
-    idfMap.keysIterator.map(k2 => dictionary.getOrElse(k2, 0L)).sum
-
   /** Cutoff (postings) below which the query runs its kernel on the driver.
     * Mutable so tests can force the distributed branch.
     */
@@ -243,10 +244,10 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
   def searchBroadcast(query: String, k: Int, fields: Seq[String] = DefaultFields): Array[Hit] = {
     plan(query, fields) match {
       case None => Array.empty
-      case Some((cls, idfMap, minMatch)) =>
+      case Some((cls, idfMap, minMatch, postings)) =>
         val avgLen = meta.avgLen
         val fieldArr = DefaultFields.toArray
-        if (estimatedPostings(idfMap) <= DriverKernelMaxPostings) {
+        if (postings <= DriverKernelMaxPostings) {
           val nt = normsBc.value // local value; no broadcast needed on driver
           val runs = fetchRuns(idfMap.keySet)
           val localHits = runs.groupBy(_.salt).valuesIterator.flatMap { rs =>
@@ -278,8 +279,8 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
   def searchMany(queries: Seq[String], k: Int,
                  fields: Seq[String] = DefaultFields): Seq[Array[Hit]] = {
     val prefetch = queries.flatMap(q => plan(q, fields)).flatMap {
-      case (_, idfMap, _) =>
-        if (estimatedPostings(idfMap) <= DriverKernelMaxPostings) idfMap.keySet
+      case (_, idfMap, _, postings) =>
+        if (postings <= DriverKernelMaxPostings) idfMap.keySet
         else Set.empty[(String, String)]
     }.toSet
     if (prefetch.nonEmpty) fetchRuns(prefetch)
@@ -290,7 +291,7 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
   def searchShuffle(query: String, k: Int, fields: Seq[String] = DefaultFields): Array[Hit] = {
     plan(query, fields) match {
       case None => Array.empty
-      case Some((cls, idfMap, minMatch)) =>
+      case Some((cls, idfMap, minMatch, _)) =>
         val avgLen = meta.avgLen
         val fieldArr = DefaultFields.toArray
         val stats = spark.read.parquet(s"$indexDir/docstats")

@@ -108,6 +108,23 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("probe-path dictionary (DictionaryMaxDriverTerms=0): identical answers, no full collect") {
+    val forced = new Searcher(spark, tmp)
+    forced.DictionaryMaxDriverTerms = 0 // vocabulary must never reach the driver
+    val queries = Seq("buffer", "binary search tree implementation",
+      "def class import return", "parse merge", "nosuchtermxyz")
+    queries.foreach { q =>
+      val probed = forced.search(q, 10)
+      val reference = searcher.search(q, 10)
+      assert(probed.toSeq == reference.toSeq, s"[$q]")
+    }
+    val probesAfter = forced.dictProbes
+    assert(probesAfter >= 1, "probe path must have issued pushed-filter jobs")
+    // repeat queries resolve from the df cache — no new probe jobs
+    queries.foreach(q => forced.search(q, 10))
+    assert(forced.dictProbes == probesAfter, "repeat queries must not re-probe")
+  }
+
   test("per-row content sha256 integrity: docstats sha == sha256(source content)") {
     import spark.implicits._
     val stats = spark.read.parquet(s"$tmp/docstats").select("sha").as[String].collect().toSet

@@ -75,6 +75,21 @@ class MultiSearcherSpec extends AnyFunSuite {
       assert(math.abs(avg - single.meta.avgLen(f)) < 1e-9, s"avgLen($f)")
     }
     assert(multi.globalDf(("content", "buffer")) ==
-      single.dictionary(("content", "buffer")))
+      single.dfOf(Set(("content", "buffer")))(("content", "buffer")))
+  }
+
+  test("per-segment norms built once, reused across repeated queries") {
+    val multi = new MultiSearcher(spark, Seq(segADir, segBDir))
+    val first = multi.search("buffer def class", 10)
+    assert(first.nonEmpty)
+    val buildsAfterFirst = multi.normBuilds.get()
+    assert(buildsAfterFirst <= 2, "at most one norm build per segment")
+    (1 to 3).foreach { _ =>
+      val again = multi.search("buffer def class", 10)
+      assert(again.toSeq == first.toSeq)
+    }
+    multi.search("import return val", 10)
+    assert(multi.normBuilds.get() == buildsAfterFirst,
+      "repeat/different queries must not re-collect docstats")
   }
 }
