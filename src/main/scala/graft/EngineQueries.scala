@@ -1,7 +1,7 @@
 package graft
 
 import graft.oracle.ExactScorer
-import graft.ops.{Dedup, Multimodal, Similarity}
+import graft.ops.{AnnIndex, Dedup, Multimodal}
 import graft.query.Searcher
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -13,6 +13,20 @@ import org.apache.spark.sql.functions._
   * rank-identity gate against the in-JVM oracle instead.
   */
 object EngineQueries {
+
+  /** Build the persisted ANN signature index once per sfDir per JVM. */
+  private object AnnCache {
+    private val dirs = scala.collection.mutable.Map[String, String]()
+    def dirFor(s: SparkSession, sfDir: String): String = synchronized {
+      dirs.getOrElseUpdate(sfDir, {
+        val out = s"/tmp/graft_ann_${Integer.toHexString(sfDir.hashCode)}"
+        val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+          .filter(col("vec_id") =!= 0) // vec 0 is the conventional query vector
+        graft.ops.AnnIndex.build(s, emb, "vec_id", "embedding", out, nBits = 8)
+        out
+      })
+    }
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -105,15 +119,18 @@ object EngineQueries {
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
     }),
 
-    // approximate nearest neighbor: random-hyperplane LSH buckets + exact
-    // rescore inside the probe set (rows-only; recall gated in OpsSpec)
+    // approximate nearest neighbor over the PERSISTED signature index: the
+    // (sig, id, vec) table is built once (sig-sorted, range-partitioned);
+    // each query is a pushed `sig IN (ball)` probe + exact rescore — no
+    // full-corpus signature recompute per query (rows-only; recall gated in
+    // OpsSpec, probe-pruning plan gated in PLANS.md)
     "q_ann_lsh" -> ((s, dir) => {
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val query = emb.filter(col("vec_id") === 0)
         .select("embedding").as[Array[Float]].head()
-      Similarity.lshTopK(s, emb.filter(col("vec_id") =!= 0),
-        "vec_id", "embedding", query, k = 10, nBits = 8, probeHamming = 2)
+      val annDir = AnnCache.dirFor(s, dir)
+      AnnIndex.topK(s, annDir, query, k = 10, probeHamming = 2)
         .withColumn("cos", round(col("cos"), 4))
     }),
 

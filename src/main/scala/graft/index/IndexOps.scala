@@ -45,13 +45,44 @@ object IndexOps {
       .orderBy(col("cnt").desc, col(field))
   }
 
-  /** K4 delete by id list: anti-join rewrite into a new snapshot dir. */
+  /** K4 delete by id list: anti-join rewrite into a new snapshot dir.
+    * This is the COMPACTION path — full rebuild without the deleted docs.
+    * For the O(deleted)-cost path use [[deleteInPlace]].
+    */
   def deleteByIds(spark: SparkSession, source: Dataset[CodeDoc], keys: Seq[(String, String, String)],
                   outDir: String, cfg: IndexConfig = IndexConfig()): IndexMeta = {
     import spark.implicits._
     val del = keys.toDF(KeyCols: _*)
     val surviving = source.join(broadcast(del), KeyCols, "left_anti").as[CodeDoc]
     IndexBuilder.build(spark, surviving, outDir, cfg)
+  }
+
+  /** K4 in-place delete: resolve natural keys to docIds (one pushed-filter
+    * semi join), commit a tombstone file — O(deleted docs), NO rebuild.
+    * Readers opened after the commit exclude the docs ([[graft.index.Tombstones]]);
+    * compact later with [[deleteByIds]] when tombstones accumulate.
+    */
+  def deleteInPlace(spark: SparkSession, indexDir: String,
+                    keys: Seq[(String, String, String)]): Long = {
+    import spark.implicits._
+    val del = keys.toDF(KeyCols: _*)
+    val ids = docs(spark, indexDir).join(broadcast(del), KeyCols, "left_semi")
+      .select(col("docId")).as[Long].collect()
+    Tombstones.commitDeletes(spark, indexDir, ids.toSeq)
+  }
+
+  /** Q8 in-place upsert: tombstone the replaced keys in the base segment and
+    * build the incoming batch as a DELTA segment — a [[graft.query.MultiSearcher]]
+    * over (base, delta) then scores exactly like a merged rebuilt index, at
+    * O(incoming) cost. Returns the delta segment's meta.
+    */
+  def upsertDelta(spark: SparkSession, baseDir: String, incoming: Dataset[CodeDoc],
+                  deltaDir: String, cfg: IndexConfig = IndexConfig()): IndexMeta = {
+    import spark.implicits._
+    val keys = incoming.toDF().select(KeyCols.map(col): _*).distinct()
+      .as[(String, String, String)].collect()
+    deleteInPlace(spark, baseDir, keys.toSeq)
+    IndexBuilder.build(spark, incoming, deltaDir, cfg)
   }
 
   /** Q8 uniqueKey upsert: re-adding a doc replaces the one with the same
@@ -156,8 +187,10 @@ object QueryFilter {
         else positive
     }
 
-    clauses.map(clauseDocs).reduce { (a, b) =>
-      a.unionByName(b).dropDuplicates("docId")
-    }
+    // committed tombstones are invisible to every filter query
+    Tombstones.exclude(spark, indexDir,
+      clauses.map(clauseDocs).reduce { (a, b) =>
+        a.unionByName(b).dropDuplicates("docId")
+      })
   }
 }

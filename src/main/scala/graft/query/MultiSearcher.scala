@@ -32,6 +32,7 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     */
   private final class Segment(val dir: String, val meta: IndexMeta, val offset: Long) {
     val dict = new DictProbe(spark, s"$dir/dictionary", DictionaryMaxDriverTerms)
+    lazy val tombstones: Set[Long] = graft.index.Tombstones.loadSet(spark, dir)
     lazy val norms: Array[Array[Byte]] = {
       normBuilds.incrementAndGet()
       val n = meta.nDocs.toInt
@@ -110,7 +111,7 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
         val lens = seg.norms // lazily built once per segment, query-reused
         runs.groupBy(_.salt).valuesIterator.foreach { rs =>
           Kernel.scoreSalt(rs, (fi, d) => SmallFloat.byte4ToInt(lens(fi)(d.toInt)),
-            cls, fieldArr, idfMap, avg, minMatch, k)
+            cls, fieldArr, idfMap, avg, minMatch, k, seg.tombstones.contains)
             .foreach(h => top.offer(Hit(seg.offset + h.docId, h.score)))
         }
       }

@@ -152,6 +152,12 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
   /** df lookup for a key set (probe- or driver-cached per the threshold). */
   def dfOf(keys: Set[(String, String)]): Map[(String, String), Long] = dict.dfOf(keys)
 
+  /** Tombstoned docIds of the pinned snapshot (K4 in-place deletes) —
+    * broadcast once; kernels skip them during scoring.
+    */
+  lazy val tombstonesBc: Broadcast[Set[Long]] =
+    spark.sparkContext.broadcast(graft.index.Tombstones.loadSet(spark, indexDir))
+
   /** Dense norms broadcast once per searcher. */
   lazy val normsBc: Broadcast[NormTable] = {
     val fields = DefaultFields.toArray
@@ -250,19 +256,21 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
         if (postings <= DriverKernelMaxPostings) {
           val nt = normsBc.value // local value; no broadcast needed on driver
           val runs = fetchRuns(idfMap.keySet)
+          val ts = tombstonesBc.value
           val localHits = runs.groupBy(_.salt).valuesIterator.flatMap { rs =>
             Kernel.scoreSalt(rs, (fi, d) => nt.quantLen(fi, d),
-              cls, fieldArr, idfMap, avgLen, minMatch, k)
+              cls, fieldArr, idfMap, avgLen, minMatch, k, ts.contains)
           }.toArray
           merge(localHits, k)
         } else {
           val bc = normsBc
+          val tsBc = tombstonesBc
           val localHits = filteredRuns(idfMap.keySet)
             .groupByKey(_.salt)
             .flatMapGroups { (_, it) =>
               val nt = bc.value
               Kernel.scoreSalt(it.toArray, (fi, d) => nt.quantLen(fi, d),
-                cls, fieldArr, idfMap, avgLen, minMatch, k)
+                cls, fieldArr, idfMap, avgLen, minMatch, k, tsBc.value.contains)
             }
             .collect()
           merge(localHits, k)
@@ -294,6 +302,7 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
       case Some((cls, idfMap, minMatch, _)) =>
         val avgLen = meta.avgLen
         val fieldArr = DefaultFields.toArray
+        val tsBc = tombstonesBc
         val stats = spark.read.parquet(s"$indexDir/docstats")
           .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo")
           .as[(Long, Int, Int, Int, Int)]
@@ -314,7 +323,8 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
                 }
                 SmallFloat.quantizeLength(len)
               }
-              Kernel.scoreSalt(runs, ql, cls, fieldArr, idfMap, avgLen, minMatch, k)
+              Kernel.scoreSalt(runs, ql, cls, fieldArr, idfMap, avgLen,
+                minMatch, k, tsBc.value.contains)
             }
           }
           .collect()
@@ -362,7 +372,8 @@ object Kernel extends Serializable {
       idfMap: Map[(String, String), Double],
       avgLen: Map[String, Double],
       minMatch: Int,
-      k: Int): Iterator[Hit] = {
+      k: Int,
+      deleted: Long => Boolean = _ => false): Iterator[Hit] = {
 
     val byKey = runs.groupBy(r => (r.field, r.term))
     if (byKey.isEmpty) return Iterator.empty
@@ -450,7 +461,9 @@ object Kernel extends Serializable {
             }
             c2 += 1
           }
-          if (matched >= minMatch) top.offer(Hit(pivotDoc, score))
+          // tombstoned docs are skipped HERE (not post-filtered) so the
+          // top-k never under-fills because deleted docs held slots
+          if (matched >= minMatch && !deleted(pivotDoc)) top.offer(Hit(pivotDoc, score))
           li = 0
           while (li < live.length && live(li).it.curDoc == pivotDoc) {
             live(li).it.advance()

@@ -79,4 +79,58 @@ class IndexOpsSpec extends AnyFunSuite {
     val files = new java.io.File(out).listFiles().count(_.getName.endsWith(".json"))
     assert(files >= 2)
   }
+
+  test("in-place delete: tombstone commit, no rebuild; all readers exclude") {
+    meta
+    // fresh copy of the index so other tests see no tombstones
+    val dir = java.nio.file.Files.createTempDirectory("graftts").toString
+    IndexBuilder.build(spark, docs, dir, cfg)
+    val searcher0 = new graft.query.Searcher(spark, dir)
+    val before = searcher0.search("buffer", 10)
+    assert(before.nonEmpty)
+    val victims = spark.read.parquet(s"$dir/docstats")
+      .filter(org.apache.spark.sql.functions.col("docId")
+        .isin(before.take(3).map(_.docId): _*))
+      .select("repo", "path", "commit").as[(String, String, String)].collect()
+    val snapBefore = new graft.index.Snapshot(dir).currentId
+    IndexOps.deleteInPlace(spark, dir, victims.toSeq)
+    assert(new graft.index.Snapshot(dir).currentId == snapBefore + 1, "commit-gated")
+    // postings untouched: no rebuild happened
+    val deletedIds = before.take(3).map(_.docId).toSet
+    val after = new graft.query.Searcher(spark, dir).search("buffer", 10)
+    assert(after.nonEmpty)
+    assert(after.forall(h => !deletedIds.contains(h.docId)), "search excludes tombstones")
+    // top-k does not under-fill: deleted slots are backfilled by later docs
+    assert(after.length == before.length)
+    val fq = QueryFilter.matchingDocs(spark, dir, "*:*").count()
+    assert(fq == 600 - 3, "filter queries exclude tombstones")
+    // readers of the OLD searcher instance (pinned snapshot) are unaffected
+    assert(searcher0.search("buffer", 10).toSeq == before.toSeq)
+  }
+
+  test("upsert via delta segment + tombstones: new version visible, old gone") {
+    meta
+    val baseDir = java.nio.file.Files.createTempDirectory("graftup").toString
+    IndexBuilder.build(spark, docs, baseDir, cfg)
+    // replace doc 0 with new content containing a unique marker term
+    val old = docs.filter(_.path.contains("/File0.")).head()
+    val replacement = old.copy(content = old.content + " zanzibarmarker zanzibarmarker")
+    val deltaDir = java.nio.file.Files.createTempDirectory("graftupD").toString
+    IndexOps.upsertDelta(spark, baseDir,
+      spark.createDataset(Seq(replacement)), deltaDir, cfg)
+    val multi = new graft.query.MultiSearcher(spark, Seq(baseDir, deltaDir))
+    val hits = multi.search("zanzibarmarker", 5)
+    assert(hits.length == 1, "replacement doc findable via its marker")
+    val (dir, local) = multi.locate(hits(0).docId)
+    assert(dir == deltaDir && local == 0)
+    // the old version is tombstoned: content terms of doc 0 no longer return
+    // the base copy AND the delta copy appears instead
+    val oldWord = graft.analysis.Analyzer.analyze(old.content).head
+    val all = multi.search(oldWord, 600)
+    val baseIds = all.map(_.docId).filter(_ < 600) // base segment offsets 0..599
+    val oldBaseId = spark.read.parquet(s"$baseDir/docstats")
+      .filter(org.apache.spark.sql.functions.col("path") === old.path)
+      .select("docId").as[Long].head()
+    assert(!baseIds.contains(oldBaseId), "old version excluded from base segment")
+  }
 }

@@ -97,6 +97,18 @@ class OpsSpec extends AnyFunSuite {
     // random-guess recall would be ~0.14 — require at least ~2x that
     val recall = (brute intersect ann).size.toDouble / brute.size
     assert(recall >= 0.25, s"recall $recall too low (brute=$brute ann=$ann)")
+
+    // the persisted signature index returns EXACTLY what the per-query LSH
+    // filter returns (same planes, same signatures, same probe ball) — but
+    // its per-query plan is a pushed `sig IN (...)` probe of the sig-sorted
+    // table, not a full-corpus signature recompute
+    val annDir = java.nio.file.Files.createTempDirectory("graftann").toString
+    graft.ops.AnnIndex.build(spark, rest, "vec_id", "embedding", annDir, nBits = 8)
+    val indexed = graft.ops.AnnIndex.topK(spark, annDir, query, 10, probeHamming = 2)
+    assert(indexed.collect().map(_.getLong(0)).toSet == ann)
+    val pushed = indexed.queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters") && pushed.contains("In(sig"),
+      s"sig probe must push to parquet:\n$pushed")
   }
 
   test("LSH probe set is a real subset (it actually prunes)") {
