@@ -23,6 +23,22 @@ object Reindex {
   def normalizeValue(c: Column): Column =
     nullif(trim(regexp_replace(c.cast("string"), "T\\d\\d:\\d\\d:\\d\\d(\\.\\d+)?Z?", "")), lit(""))
 
+  /** normalize_record's access-copy escape (reindex.py:247-248): literal
+    * `{}` placeholders in access_copy_ssi URLs are percent-encoded to
+    * `%7B%7D` before comparison/writeback.
+    */
+  def escapeAccessCopy(c: Column): Column =
+    regexp_replace(c, "\\{\\}", "%7B%7D")
+
+  /** normalize_record (reindex.py:243-258): escape access_copy_ssi when the
+    * column exists; falsy-value removal is the per-column nullif in
+    * [[normalizeValue]].
+    */
+  def normalizeRecord(df: DataFrame): DataFrame =
+    if (df.columns.contains("access_copy_ssi"))
+      df.withColumn("access_copy_ssi", escapeAccessCopy(col("access_copy_ssi")))
+    else df
+
   /** Split the transformed table into (accepted, quarantined).
     *
     * @param before     original table

@@ -44,4 +44,14 @@ class ReindexSpec extends AnyFunSuite {
     assert(r.getAs[scala.collection.Seq[String]]("local_identifiers") == Seq("x", "y"))
     assert(r.getAs[String]("title") == "One Two")
   }
+
+  test("access-copy {} escape (reindex.py:247-248)") {
+    val df = Seq(
+      ("a1", "https://x.example/iiif/2/ark%3A{}/full"),
+      ("a2", "https://x.example/plain")).toDF("ark", "access_copy_ssi")
+    val out = Reindex.normalizeRecord(df).collect().map(r =>
+      r.getString(0) -> r.getString(1)).toMap
+    assert(out("a1") == "https://x.example/iiif/2/ark%3A%7B%7D/full")
+    assert(out("a2") == "https://x.example/plain")
+  }
 }

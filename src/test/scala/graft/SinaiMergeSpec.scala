@@ -77,6 +77,38 @@ class SinaiMergeSpec extends AnyFunSuite {
     assert(agentsOfW1 == Seq("Ephrem the Syrian"))
   }
 
+  test("Sinai solr-record projection: sorted-set facets + json round-trip") {
+    val rec = graft.docprep.SinaiRecord
+      .project(SinaiMerge.mergeManuscripts(spark, root)).collect()
+    val m1 = rec.find(_.getAs[String]("ark_ssi") == "ark:/21198/m1").get
+    assert(m1.getAs[String]("id") == "ark:/21198/m1")
+    assert(m1.getAs[String]("ms_type_ssi") == "manuscript")
+    assert(m1.getAs[String]("visibility_ssi") == "open")
+    assert(m1.getAs[scala.collection.Seq[String]]("has_model_ssim") == Seq("Work"))
+    assert(m1.getAs[scala.collection.Seq[String]]("discover_access_group_ssim") == Seq("public"))
+    assert(m1.getAs[scala.collection.Seq[String]]("header_index_tesim") ==
+      Seq("Sinai Syriac 1", "120 ff."))
+    // ot layer works only; uto works separate; global union sorted+dedup'd
+    assert(m1.getAs[scala.collection.Seq[String]]("ot_works_ssim") ==
+      Seq("Anonymous Prayer", "Hymns Against Heresies"))
+    assert(m1.getAs[scala.collection.Seq[String]]("uto_works_ssim") ==
+      Seq("Ladder of Divine Ascent"))
+    assert(m1.getAs[scala.collection.Seq[String]]("works_ssim") ==
+      Seq("Anonymous Prayer", "Hymns Against Heresies", "Ladder of Divine Ascent"))
+    assert(m1.getAs[scala.collection.Seq[String]]("names_ssim") ==
+      Seq("Ephrem the Syrian", "John Climacus"))
+    assert(m1.getAs[scala.collection.Seq[String]]("reconstructed_from_shelfmark_ssim") ==
+      Seq("Sinai Syriac 2 (fragment)"))
+    // manuscript_json_ts round-trips (solr_record.py:543-545)
+    val json = m1.getAs[String]("manuscript_json_ts")
+    assert(json.contains("\"ark\":\"ark:/21198/m1\"") &&
+      json.contains("Hymns Against Heresies"))
+    // a manuscript with no layers projects empty facets, not nulls/errors
+    val m2 = rec.find(_.getAs[String]("ark_ssi") == "ark:/21198/m2").get
+    assert(m2.getAs[scala.collection.Seq[String]]("works_ssim").isEmpty)
+    assert(m2.getAs[scala.collection.Seq[String]]("names_ssim").isEmpty)
+  }
+
   test("reconstructed_from self-join resolves sibling shelfmarks (J4)") {
     val merged = SinaiMerge.mergeManuscripts(spark, root).collect()
     val m1 = merged.find(_.getString(0) == "ark:/21198/m1").get
