@@ -97,7 +97,21 @@ object Analyzer extends Serializable {
       if (cat != Character.NON_SPACING_MARK.toInt &&
           cat != Character.COMBINING_SPACING_MARK.toInt &&
           cat != Character.ENCLOSING_MARK.toInt) {
-        sb.appendCodePoint(cp)
+        // UTR#30 diacritic folding also covers NON-decomposable stroked /
+        // crossed Latin letters; icu4j ships no utr30.nrm (that data lives in
+        // lucene-analysis-icu, absent offline), so the common classes are
+        // folded explicitly here. Input is already casefolded, so lowercase
+        // forms suffice. Rare fold-table entries beyond these may still
+        // diverge from Lucene's ICUFoldingFilter — documented approximation.
+        cp match {
+          case 'ø' => sb.append('o')
+          case 'đ' => sb.append('d')
+          case 'ð' => sb.append('d')
+          case 'ħ' => sb.append('h')
+          case 'ł' => sb.append('l')
+          case 'ŧ' => sb.append('t')
+          case _ => sb.appendCodePoint(cp)
+        }
       }
       j += Character.charCount(cp)
     }

@@ -63,6 +63,13 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(Analyzer.alphaNumericSortKey("ABC-9876543") == "abc9876543")
     assert(Analyzer.alphaNumericSortKey("x 000042 y") == "x000042y")
   }
+  test("stroked-Latin fold classes (UTR#30 diacritic folding approximation)") {
+    assert(Analyzer.fold("S\u00f8ren") == "soren")       // o-slash
+    assert(Analyzer.fold("\u0110or\u0111e") == "dorde") // d-stroke both cases
+    assert(Analyzer.fold("ver\u00f0") == "verd")         // eth
+    assert(Analyzer.fold("\u0127ajja") == "hajja")       // h-stroke
+    assert(Analyzer.fold("\u0141\u00f3d\u017a") == "lodz") // l-stroke + acute
+  }
   test("keyword chain folds whole value") {
     assert(Analyzer.analyzeKeyword("  Les Misérables  ").toSeq == Seq("les miserables"))
   }
