@@ -99,7 +99,14 @@ object Bench {
   /** Build + query benchmark on a fresh session; returns metric map. */
   def engineBench(spark: SparkSession, nDocs: Long): Map[String, Double] = {
     val cores = spark.sparkContext.defaultParallelism
-    val out = java.nio.file.Files.createTempDirectory(s"graftbench$cores").toString
+    // index output on tmpfs when available, like the shuffle dirs: on a real
+    // cluster each executor writes to ITS node's local disks / object store;
+    // one shared spinning /tmp would be a non-representative IO bottleneck
+    val benchRoot = java.nio.file.Paths.get(
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench-tmp"
+      else System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createDirectories(benchRoot)
+    val out = java.nio.file.Files.createTempDirectory(benchRoot, s"graftbench$cores").toString
     val docs = CodeCorpus.generate(spark, nDocs, nRepos = 100, partitions = cores * 2)
     val timing = sys.env.get("SPARK_GRAFT_TIMING").contains("1")
     val sm = if (timing) Some(StageMetrics.install(spark)) else None

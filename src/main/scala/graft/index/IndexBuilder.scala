@@ -173,6 +173,13 @@ object IndexBuilder {
     val blockSize = cfg.blockSize
     val chunkDocs = cfg.chunkDocs
 
+    // corpus stats ride accumulators out of the fused pass (saves the
+    // commit-time aggregate job when the pass ran this build)
+    val accDocs = spark.sparkContext.longAccumulator("graft.nDocs")
+    val accLenC = spark.sparkContext.longAccumulator("graft.lenContent")
+    val accLenP = spark.sparkContext.longAccumulator("graft.lenPath")
+    val accLenR = spark.sparkContext.longAccumulator("graft.lenRepo")
+
     lazy val emitted: Dataset[BuildEmit] = withIds
       .select("docId", "sha", "repo", "path", "commit", "lang", "content")
       .as[(Long, String, String, String, String, String, String)]
@@ -180,6 +187,8 @@ object IndexBuilder {
         val enc = new ChunkEncoder(blockSize, saltRange, chunkDocs)
         it.flatMap { case (docId, sha, repo, path, commit, lang, content) =>
           val (chunks, stats) = enc.addDoc(docId, sha, repo, path, commit, lang, content)
+          accDocs.add(1L); accLenC.add(stats.lenContent)
+          accLenP.add(stats.lenPath); accLenR.add(stats.lenRepo)
           chunks.map(c => BuildEmit(Some(c), None)) ++
             Iterator.single(BuildEmit(None, Some(stats)))
         } ++
@@ -201,9 +210,13 @@ object IndexBuilder {
       else emitted
 
     // ---- stage: docstats (map-side rows out of the fused pass; the timed
-    // cost here includes materializing the fused tokenize+encode cache) ----
+    // cost here includes materializing the fused tokenize+encode cache).
+    // DataFrame select, NOT a typed flatMap: `stats.*` prunes the chunk
+    // binaries out of the cache scan (a typed flatMap deserializes the whole
+    // BuildEmit row — measured as most of this stage's CPU). ----
     if (needDocstats) timed("docstats") {
-      src.flatMap(_.stats).write.mode("overwrite").parquet(docstatsPath)
+      src.toDF().filter($"stats".isNotNull).select($"stats.*")
+        .write.mode("overwrite").parquet(docstatsPath)
       snap.markStageDone("docstats")
     }
 
@@ -217,14 +230,24 @@ object IndexBuilder {
     // overhead from the one wide shuffle: a head term crosses the wire
     // ceil(df_chunk/blockSize) times per chunk instead of df times.
     if (needPostings) timed("postings") {
-      val sorted = src.flatMap(_.chunk)
+      // `chunk.*` select (not flatMap): prunes the stats columns from the scan
+      val sorted = src.toDF().filter($"chunk".isNotNull).select($"chunk.*")
         .repartition(cfg.shufflePartitions, $"term", $"fieldId", $"salt")
         // term first: the string sort-prefix discriminates; firstDoc last
         // restores global docId order (chunks cover disjoint ranges)
         .sortWithinPartitions($"term", $"fieldId", $"salt", $"firstDoc")
         .as[BlockChunk]
 
-      val encoded: Dataset[(Option[PostingRun], Option[LineageRow])] =
+      // lineage rows (ONE per partition) ride an accumulator out of the same
+      // pass that writes the postings — no caching of the run dataset.
+      // (Round 2 first persisted the runs to serve lineage + dictionary; the
+      // columnar cache of the block binaries cost more CPU to build and
+      // re-scan — measured 65s at 400k docs/16 cores — than it saved.)
+      // Task retries can add duplicate rows; the driver dedupes by pid.
+      val lineageAcc = new org.apache.spark.util.CollectionAccumulator[LineageRow]()
+      spark.sparkContext.register(lineageAcc, "lineage")
+
+      val runs: Dataset[PostingRun] =
         sorted.mapPartitions { it =>
           val pid = TaskContext.getPartitionId()
           val asm = new RunAssembler(buckets)
@@ -243,47 +266,51 @@ object IndexBuilder {
             }
             r
           }
-          val runs: Iterator[PostingRun] =
-            it.flatMap(asm.add) ++
-              new Iterator[PostingRun] { // lazily flush AFTER input exhausts
-                private var flushed = false
-                private var v: Option[PostingRun] = None
-                def hasNext: Boolean = { if (!flushed) { v = asm.flush(); flushed = true }; v.nonEmpty }
-                def next(): PostingRun = { val r = v.get; v = None; r }
+          var lineageDone = false
+          def finishLineage(): Unit = if (!lineageDone) {
+            lineageDone = true
+            lineageAcc.add(LineageRow(pid, bucketSeen,
+              Option(termLo).getOrElse(""), Option(termHi).getOrElse(""),
+              nRuns, nPost, nBytes, sha.digest().map("%02x".format(_)).mkString))
+          }
+          it.flatMap(c => asm.add(c).map(record)) ++
+            new Iterator[PostingRun] { // flush AFTER input exhausts, then lineage
+              private var state = 0 // 0 = not flushed, 1 = holding run, 2 = done
+              private var v: PostingRun = _
+              def hasNext: Boolean = state match {
+                case 0 => asm.flush() match {
+                  case Some(r) => v = record(r); state = 1; true
+                  case None => finishLineage(); state = 2; false
+                }
+                case 1 => true
+                case _ => false
               }
-          runs.map(r => (Some(record(r)), Option.empty[LineageRow])) ++
-            new Iterator[(Option[PostingRun], Option[LineageRow])] { // trailing lineage row
-              private var emitted = false
-              def hasNext: Boolean = !emitted
-              def next(): (Option[PostingRun], Option[LineageRow]) = {
-                emitted = true
-                (None, Some(LineageRow(pid, bucketSeen,
-                  Option(termLo).getOrElse(""), Option(termHi).getOrElse(""),
-                  nRuns, nPost, nBytes, sha.digest().map("%02x".format(_)).mkString)))
-              }
+              def next(): PostingRun = { val r = v; state = 2; finishLineage(); r }
             }
-        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
 
       // bucketDirs: term lookups prune whole directories (a q-term query
       // opens <= q/buckets of the files' footers — file-level pruning on top
       // of the term-major row-group stats); see IndexConfig.bucketDirs for
       // the write-cost tradeoff.
       timed("postWrite") {
-        val w = encoded.flatMap(_._1).write.mode("overwrite")
+        val w = runs.write.mode("overwrite")
         (if (cfg.bucketDirs) w.partitionBy("bucket") else w).parquet(postingsPath)
       }
-      timed("lineageWrite")(encoded.flatMap(_._2).write.mode("overwrite").parquet(lineagePath))
+      timed("lineageWrite") {
+        import scala.jdk.CollectionConverters._
+        val rows = lineageAcc.value.asScala.toSeq
+          .groupBy(_.partitionId).map(_._2.head).toSeq // dedupe retried tasks
+        spark.createDataset(rows).write.mode("overwrite").parquet(lineagePath)
+      }
       snap.markStageDone("postings")
-      // dictionary from the still-cached runs: aggregating the narrow
-      // (bucket, field, term, df, cf) projection of the in-memory cache
-      // skips a full parquet re-read that decoded every block's binary
-      // columns (measured ~45s CPU at 400k docs)
+      // dictionary from a NARROW re-read: parquet skips the untouched blocks
+      // column entirely, so this scans only (bucket, field, term, df, cf)
       if (!snap.stageDone("dictionary")) timed("dictionary") {
-        writeDictionary(encoded.flatMap(_._1)
+        writeDictionary(spark.read.parquet(postingsPath)
           .select($"bucket", $"field", $"term", $"df", $"cf"), dictPath, cfg)
         snap.markStageDone("dictionary")
       }
-      encoded.unpersist()
     }
     if (needBoth) src.unpersist()
     while (!pendingCaches.isEmpty) { Option(pendingCaches.poll()).foreach(_.unpersist()) }
@@ -297,16 +324,29 @@ object IndexBuilder {
     }
 
     // ---- stage: snapshot commit ----
-    val stats = timed("statsAgg")(spark.read.parquet(docstatsPath)
-      .agg(count(lit(1)), sum($"lenContent"), sum($"lenPath"), sum($"lenRepo"))
-      .collect()(0))
-    val nDocs = stats.getLong(0)
+    // When the docstats write ran, the fused pass computed inside ITS result
+    // stage, where Spark applies accumulator updates exactly once per task
+    // (retries don't double-count result-stage accumulators) — the commit
+    // stats are free. On resume paths (pass skipped, or pass materialized by
+    // the shuffle-map side of postWrite where map-stage retries CAN
+    // double-count), aggregate from the docstats parquet instead.
+    val stats: (Long, Long, Long, Long) = timed("statsAgg") {
+      if (needDocstats && accDocs.value > 0)
+        (accDocs.value, accLenC.value, accLenP.value, accLenR.value)
+      else {
+        val r = spark.read.parquet(docstatsPath)
+          .agg(count(lit(1)), sum($"lenContent"), sum($"lenPath"), sum($"lenRepo"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    }
+    val nDocs = stats._1
     val meta = IndexMeta(
       nDocs = nDocs,
       avgLen = Map(
-        "content" -> stats.getLong(1).toDouble / nDocs,
-        "path" -> stats.getLong(2).toDouble / nDocs,
-        "repo" -> stats.getLong(3).toDouble / nDocs),
+        "content" -> stats._2.toDouble / nDocs,
+        "path" -> stats._3.toDouble / nDocs,
+        "repo" -> stats._4.toDouble / nDocs),
       buckets = cfg.buckets, saltRange = cfg.saltRange, blockSize = cfg.blockSize)
     snap.commit(meta.toProps ++ Map("fields" -> cfg.fields.mkString(",")))
     meta
