@@ -77,3 +77,22 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => SimHash64(exprs.head))
   }
 }
+
+/** SparkSessionExtensions entry point — the spark-submit-friendly form of
+  * [[GraftFunctions.register]]:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
+  *
+  * injects graft's native expressions into EVERY session built from that
+  * config (new sessions, cloned sessions, thrift connections), with no code
+  * change in the submitting application. EngineSpec proves the injected
+  * function resolves in SQL on a fresh session.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+  }
+}

@@ -54,4 +54,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(failed.getMessage.contains("error budget") ||
       Option(failed.getCause).exists(_.getMessage.contains("error budget")))
   }
+
+  test("stateful cross-batch dedup: first occurrence wins, dups drop forever") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val deduped = graft.streaming.StreamingDedup.dedupByFingerprint[(Long, String)](
+      input.toDS(),
+      fpOf = t => org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        t._2.toLowerCase.trim.replaceAll("\\s+", " ")),
+      prefer = (a, b) => if (a._1 <= b._1) a else b)
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode(OutputMode.Append()).start()
+    // batch 1: two copies of fp1 (ids 7 and 3 -> 3 survives), one fp2
+    input.addData((7L, "The quick  brown fox"), (3L, "the quick brown fox"),
+      (10L, "something else entirely"))
+    q.processAllAvailable()
+    // batch 2: fp1 again (must drop), a fresh fp3
+    input.addData((99L, "THE QUICK BROWN FOX"), (11L, "brand new document"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT _1 FROM dedup_out ORDER BY _1")
+      .collect().map(_.getLong(0)).toSeq
+    q.stop()
+    assert(got == Seq(3L, 10L, 11L),
+      s"expected first-occurrence winners (3, 10, 11), got $got")
+  }
 }
