@@ -134,6 +134,16 @@ object EngineQueries {
         .withColumn("cos", round(col("cos"), 4))
     }),
 
+    // embedding-cosine near-dup, SCALE path: candidates restricted to
+    // sign-LSH signature buckets (equi-join, no quadratic blowup), exact
+    // cosine filter inside buckets (rows-only; exactness baseline is the
+    // SQL-checked q_embed_neardup; subset+recall gated in OpsSpec)
+    "q_embed_neardup_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 200)
+      graft.ops.Similarity.lshNearDupPairs(emb, "vec_id", "embedding", minCos = 0.1)
+    }),
+
     // multimodal: opaque-binary media table -> stubbed decode/resize/features
     // pipeline (map-only; real schema and plumbing, stub codec)
     "q_multimodal_features" -> ((s, dir) => {

@@ -495,6 +495,33 @@ object RelationalQueries {
             .as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    // embedding-cosine near-dup PAIRS, exact baseline (scale path =
+    // Similarity.lshNearDupPairs, rows-checked as q_embed_neardup_lsh)
+    "q_embed_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 40)
+      graft.ops.Similarity.cosinePairs(emb, "vec_id", "embedding", minCos = 0.1)
+    }),
+
+    // winnowing document fingerprints (Schleimer et al. 2003): k-gram md5
+    // min-sampled over sliding windows — the rolling-hash fingerprint op
+    "q_winnow" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .withColumn("w", split(lower(trim(col("text"))), "\\s+"))
+      docs.select(col("doc_id"),
+          explode(graft.ops.TextOps.winnowFingerprints(col("w"), 3, 4)).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))
+    }),
+
+    // BPE-style token segmentation (GPT-2-flavored splitter): per-doc piece
+    // counts + head pieces — the token-budget estimator for training data
+    "q_bpe_tokens" -> ((s, dir) => {
+      val toks = graft.ops.TextOps.bpeTokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(toks).as("n_pieces"),
+          array_join(slice(toks, 1, 5), "|").as("head_pieces"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -783,6 +810,44 @@ object RelationalQueries {
         |SELECT vec_id, round(list_dot_product(v, qv)
         |  / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos
         |FROM e, q WHERE vec_id <> 0
-        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(
+        |    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(list_zip(a.embedding, a.embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(list_zip(b.embedding, b.embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y))), 3) AS cos
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE cos >= 0.1
+        |ORDER BY a, b""".stripMargin,
+
+    "q_winnow" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE doc_id < 100),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
+        |    i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |  ELSE [] END AS grams FROM w),
+        |f AS (SELECT doc_id,
+        |  CASE WHEN len(grams) - 3 >= 1 THEN
+        |    list_sort(list_distinct(list_transform(generate_series(1, len(grams) - 3),
+        |      i -> list_min(grams[i:i+3]))))
+        |  WHEN len(grams) > 0 THEN [list_min(grams)]
+        |  ELSE [] END AS fps FROM g)
+        |SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""".stripMargin,
+
+    "q_bpe_tokens" ->
+      """SELECT doc_id, len(toks) AS n_pieces,
+        |  array_to_string(toks[1:5], '|') AS head_pieces
+        |FROM (SELECT doc_id, regexp_extract_all(text,
+        |  '(?:''(?:s|t|re|ve|m|ll|d))| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+') AS toks
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -47,6 +47,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate PAIRS, exact form: all pairs with
+    * cosine >= minCos (threshold applied to the ROUNDED value so both
+    * engines of a cross-check agree at the boundary). O(n^2) — the
+    * exactness baseline for bounded inputs; the scale path is
+    * [[lshNearDupPairs]].
+    */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                  minCos: Double, scale: Int = 3): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val l = v.select(col("id").as("a"), col("v").as("va"))
+    val r = v.select(col("id").as("b"), col("v").as("vb"))
+    l.crossJoin(r).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), scale).as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Scale path for near-dup pairs: BANDED sign-LSH — nBands independent
+    * bandBits-bit signatures; vectors sharing ANY band key are candidates
+    * (equi-join on (band, key) — shuffle-friendly, no quadratic blowup),
+    * then the exact cosine filter runs inside buckets. Standard LSH OR-of-
+    * ANDs recall: a pair at angle θ collides per band with
+    * (1 - θ/π)^bandBits, and any of nBands bands suffices — with the 4x4
+    * default, cosine-0.9 pairs are candidates with p ≈ 0.95 and cosine-0.99
+    * pairs with p ≈ 0.999, while orthogonal pairs stay ≈ 0.23 (tune
+    * bandBits up for tighter pruning at scale). OpsSpec asserts the result
+    * is a subset of the exact pairs and that a planted duplicate is found.
+    */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      minCos: Double, nBands: Int = 4, bandBits: Int = 4,
+                      seed: Long = 42L, scale: Int = 3): DataFrame = {
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(nBands * bandBits, dim, seed)
+    val bands = (0 until nBands).map { bIdx =>
+      val bandPlanes = planes.slice(bIdx * bandBits, (bIdx + 1) * bandBits)
+      struct(lit(bIdx).as("band"), lshSignature(col("v"), bandPlanes).as("key"))
+    }
+    val sig = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col("id"), col("v"), explode(array(bands: _*)).as("bk"))
+      .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = sig.select(col("id").as("a"), col("v").as("va"), col("band"), col("key"))
+    val r = sig.select(col("id").as("b"), col("v").as("vb"), col("band"), col("key"))
+    l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), scale).as("cos"))
+      .filter(col("cos") >= minCos)
+      .distinct()
+      .orderBy(col("a"), col("b"))
+  }
+
   /** LSH-bucketed ANN: restrict exact scoring to vectors whose signature is
     * within `probeHamming` bits of the query's signature (multi-probe).
     * Returns (id, cos) top-k — approximate; recall measured in tests.

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: BPE-style token
+  * segmentation and winnowing document fingerprints. Pure column
+  * expressions (regexp + higher-order array functions) — codegen'd,
+  * map-only, no UDFs; each has a DuckDB-oracle driver query.
+  */
+object TextOps {
+
+  /** GPT-2-flavored pre-tokenizer pattern, ASCII-restricted so the regex
+    * behaves identically across engines: contraction suffixes, space-glued
+    * letter runs, digit runs, punctuation runs. The real BPE merge table is
+    * a model artifact; the SEGMENTATION (what bounds token counts and
+    * training-cost estimates) is this split.
+    */
+  val BpePattern: String =
+    "(?:'(?:s|t|re|ve|m|ll|d))| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+  /** Token pieces of `text` under [[BpePattern]]. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+    * hash every k-gram of `words`, slide a window of `w` consecutive hashes,
+    * keep each window's minimum — the classic local document fingerprint
+    * with guaranteed match coverage for overlaps of length >= w + k - 1.
+    * Hashes are md5 hex strings (any total order works for winnowing, and
+    * strings compare identically in every engine). Documents with fewer
+    * than `w` k-grams contribute one fingerprint (the global min).
+    */
+  def winnowFingerprints(words: Column, k: Int, w: Int): Column = {
+    val grams = transform(Dedup.shingles(words, k), g => md5(g))
+    val nWin = size(grams) - (w - 1)
+    when(nWin >= 1,
+      array_sort(array_distinct(transform(sequence(lit(1), nWin),
+        i => array_min(slice(grams, i, lit(w)))))))
+      .when(size(grams) > 0, array(array_min(grams)))
+      .otherwise(array().cast("array<string>"))
+  }
+}

@@ -132,6 +132,28 @@ class OpsSpec extends AnyFunSuite {
       s"sig probe must push to parquet:\n$pushed")
   }
 
+  test("embedding near-dup: LSH pairs are a subset of exact pairs, decent recall") {
+    val emb = spark.read.parquet(embPath).filter($"vec_id" < 150)
+    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", minCos = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", minCos = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(viaLsh.subsetOf(exact), "bucketed pairs must pass the same exact filter")
+    // near-dups have high cosine, which correlates with sharing a signature;
+    // random pairs at the 0.1 threshold are the hard case — require nontrivial
+    val recall = viaLsh.size.toDouble / exact.size
+    assert(recall >= 0.15, s"recall $recall (lsh=${viaLsh.size} exact=${exact.size})")
+    // true near-duplicates (cos >= 0.9 after planting) are always found
+    val base = emb.select($"vec_id", $"embedding")
+    val planted = base.filter($"vec_id" === 1)
+      .select(lit(9999L).as("vec_id"), $"embedding")
+    val withDup = base.unionByName(planted)
+    val dupPairs = Similarity.lshNearDupPairs(withDup, "vec_id", "embedding", minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dupPairs.contains((1L, 9999L)), s"planted exact dup must be found: ${dupPairs.toSeq}")
+  }
+
   test("LSH probe set is a real subset (it actually prunes)") {
     val emb = spark.read.parquet(embPath)
     val query = emb.filter($"vec_id" === 0).select("embedding")
