@@ -72,24 +72,19 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("GraftExtensions injects graft_simhash64 via spark.sql.extensions") {
-    // a brand-new session wired ONLY through the extensions config — the
-    // spark-submit path; no explicit register() call
-    val fresh = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate().newSession()
-    try {
-      val sig = fresh.sql(
-        "SELECT graft_simhash64(array('alpha','beta','gamma')) AS s").collect()(0).getLong(0)
-      val viaRegister = {
-        graft.functions.GraftFunctions.register(spark)
-        spark.sql("SELECT graft_simhash64(array('alpha','beta','gamma')) AS s")
-          .collect()(0).getLong(0)
-      }
-      assert(sig == viaRegister)
-    } finally fresh.close()
+    // TestSpark is built with spark.sql.extensions=graft.functions.GraftExtensions
+    // (the spark-submit path); a fresh newSession() has a FRESH function
+    // registry, so resolution below comes from the extensions injection, not
+    // from any GraftFunctions.register() call made by other tests
+    val fresh = spark.newSession()
+    val sig = fresh.sql(
+      "SELECT graft_simhash64(array('alpha','beta','gamma')) AS s").collect()(0).getLong(0)
+    val viaRegister = {
+      graft.functions.GraftFunctions.register(spark)
+      spark.sql("SELECT graft_simhash64(array('alpha','beta','gamma')) AS s")
+        .collect()(0).getLong(0)
+    }
+    assert(sig == viaRegister)
   }
 
   test("simhash banded pairs find exact dup with hamming 0") {
