@@ -32,6 +32,7 @@ object Bench {
         // oversubscribes the box into thrashing (measured 3x slowdown)
         s"-XX:ActiveProcessorCount=$coresPerWorker " +
           s"-XX:ParallelGCThreads=$coresPerWorker " +
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_GC", "") + " " +
           "-XX:CICompilerCount=2 " +
           "--add-opens=java.base/java.lang=ALL-UNNAMED " +
           "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED " +
@@ -112,7 +113,8 @@ object Bench {
     val sm = if (timing) Some(StageMetrics.install(spark)) else None
     val (_, tBuild) = time {
       IndexBuilder.build(spark, docs, out,
-        IndexConfig(buckets = 64, saltRange = 1L << 16, shufflePartitions = cores * 2))
+        IndexConfig(buckets = 64, saltRange = 1L << 16, shufflePartitions = cores * 2,
+          chunkDocs = sys.env.get("SPARK_GRAFT_CHUNK_DOCS").map(_.toInt).getOrElse(16384)))
     }
     sm.foreach(_.report(s"build nDocs=$nDocs cores=$cores"))
     val searcher = new Searcher(spark, out)

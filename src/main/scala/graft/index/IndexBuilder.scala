@@ -22,9 +22,10 @@ case class IndexConfig(
     shufflePartitions: Int = 32,
     /** Docs between map-side chunk flushes: the pre-encoding combiner's
       * memory bound is (distinct terms per chunkDocs docs) × a small growable
-      * buffer. Larger chunks amortize head-term strings over more postings;
-      * smaller chunks bound executor memory. */
-    chunkDocs: Int = 4096,
+      * buffer (~50-100 MB/task at 16k code docs). Larger chunks amortize
+      * head-term strings over more postings (measured +15% build throughput
+      * 4096 -> 16384 at 400k docs); shrink if executor memory is tight. */
+    chunkDocs: Int = 16384,
     /** Write postings under bucket=N partition directories. Query side prunes
       * whole directories per term (footer IO ∝ query terms, not corpus) and
       * reads either layout transparently (bucket is a partition column here,
