@@ -162,6 +162,29 @@ class OpsSpec extends AnyFunSuite {
     assert(probed > 1, "signatures must spread over multiple buckets")
   }
 
+  test("winnowing guarantee: docs sharing a run of >= w+k-1 words share a fingerprint") {
+    // Schleimer et al. 2003, theorem 1: with window w over k-grams, any
+    // common substring of length >= w + k - 1 produces at least one common
+    // fingerprint. 60 seeded random pairs, one Spark job.
+    val k = 3; val w = 4
+    val rng = new scala.util.Random(7)
+    def words(n: Int) = Seq.fill(n)("w" + rng.nextInt(500))
+    val rows = (0 until 60).map { i =>
+      val shared = words(w + k - 1 + rng.nextInt(10))
+      val a = words(rng.nextInt(30)) ++ shared ++ words(rng.nextInt(30))
+      val b = words(rng.nextInt(30)) ++ shared ++ words(rng.nextInt(30))
+      (i, a, b)
+    }
+    val df = rows.toDF("pair_id", "wa", "wb")
+    val common = df.select($"pair_id",
+      size(array_intersect(
+        graft.ops.TextOps.winnowFingerprints($"wa", k, w),
+        graft.ops.TextOps.winnowFingerprints($"wb", k, w))).as("n_common"))
+      .collect()
+    common.foreach(r =>
+      assert(r.getInt(1) >= 1, s"pair ${r.getInt(0)} shares no fingerprint"))
+  }
+
   test("multimodal stub pipeline: schema, integrity, determinism") {
     val media = Multimodal.asMediaTable(
       spark.read.parquet(docsPath).limit(50), "doc_id", "text", "image")
