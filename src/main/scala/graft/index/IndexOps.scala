@@ -100,13 +100,21 @@ object IndexOps {
     * JSON files (the reference dumps 1000 docs/file, importer.py:340-360).
     */
   def dumpJsonl(spark: SparkSession, indexDir: String, outDir: String,
-                batchSize: Int = 1000): Unit =
+                batchSize: Int = 1000, partitions: Int = 0): Unit = {
+    // default partition count scales with the corpus (one writer per ~100
+    // output files) instead of a fixed fan-in that would bottleneck at scale
+    val p =
+      if (partitions > 0) partitions
+      else math.max(1, math.min(10000,
+        new Snapshot(indexDir).readProps().get("nDocs").map(_.toLong).getOrElse(1000L)
+          / (batchSize.toLong * 100))).toInt
     docs(spark, indexDir)
-      .repartitionByRange(4, col("docId"))
+      .repartitionByRange(p, col("docId"))
       .sortWithinPartitions(col("docId"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", batchSize)
       .json(outDir)
+  }
 
   /** S2 JSONL reload: line-delimited JSON scan. */
   def loadJsonl(spark: SparkSession, dir: String): DataFrame = spark.read.json(dir)

@@ -235,8 +235,18 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
     keys.iterator.flatMap(k => fetched.getOrElse(k, runCache.getOrDefault(k, Array.empty))).toArray
   }
 
+  /** Corpus-size cutoff for the broadcast-norms strategies: norms cost
+    * 1 byte/doc/field on the driver and every executor, so beyond this the
+    * planner routes to [[searchShuffle]] (docstats never move — cogrouped by
+    * salt range), which is unbounded in corpus size. 1 << 31 docs ≈ 6 GB of
+    * norms; at the 10^12-doc target the shuffle strategy is the only shape
+    * that exists, and it is rank-identical (EngineSpec gates all three).
+    */
+  var NormsMaxDocs: Long = 1L << 31
+
   def search(query: String, k: Int, fields: Seq[String] = DefaultFields): Array[Hit] =
-    searchBroadcast(query, k, fields)
+    if (meta.nDocs <= NormsMaxDocs) searchBroadcast(query, k, fields)
+    else searchShuffle(query, k, fields)
 
   /** Cutoff (postings) below which the query runs its kernel on the driver.
     * Mutable so tests can force the distributed branch.

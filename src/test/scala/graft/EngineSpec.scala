@@ -128,6 +128,14 @@ class EngineSpec extends AnyFunSuite {
     assert(forced.dictProbes == probesAfter, "repeat queries must not re-probe")
   }
 
+  test("NormsMaxDocs=0 auto-routes to the shuffle strategy, identical answers") {
+    val big = new Searcher(spark, tmp)
+    big.NormsMaxDocs = 0 // corpus "too big" for broadcast norms
+    Seq("buffer", "parse merge", "binary search tree implementation").foreach { q =>
+      assert(big.search(q, 10).toSeq == searcher.search(q, 10).toSeq, s"[$q]")
+    }
+  }
+
   test("per-row content sha256 integrity: docstats sha == sha256(source content)") {
     import spark.implicits._
     val stats = spark.read.parquet(s"$tmp/docstats").select("sha").as[String].collect().toSet
