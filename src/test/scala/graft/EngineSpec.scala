@@ -129,6 +129,7 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("NormsMaxDocs=0 auto-routes to the shuffle strategy, identical answers") {
+    meta // force the index build
     val big = new Searcher(spark, tmp)
     big.NormsMaxDocs = 0 // corpus "too big" for broadcast norms
     Seq("buffer", "parse merge", "binary search tree implementation").foreach { q =>
