@@ -138,6 +138,101 @@ object IndexBuilder {
       .sortWithinPartitions(col("field"), col("term"))
       .write.mode("overwrite").parquet(dictPath)
 
+  /** The reduce side of the posting build, shared by [[build]] and
+    * [[IndexOps.mergeSegments]]: shuffle pre-encoded [[BlockChunk]]s by
+    * (term, fieldId, salt), assemble runs, write postings + lineage +
+    * dictionary, mark stages. Lineage rows (ONE per partition) ride an
+    * accumulator out of the same pass that writes the postings — no caching
+    * of the run dataset. (Round 2 first persisted the runs to serve lineage
+    * + dictionary; the columnar cache of the block binaries cost more CPU to
+    * build and re-scan — measured 65s at 400k docs/16 cores — than it
+    * saved.) Task retries can add duplicate rows; the driver dedupes by pid.
+    */
+  private[index] def assembleAndWritePostings(
+      spark: SparkSession, chunks: DataFrame, outDir: String,
+      cfg: IndexConfig, snap: Snapshot): Unit = {
+    import spark.implicits._
+    val postingsPath = s"$outDir/postings"
+    val lineagePath = s"$outDir/lineage"
+    val dictPath = s"$outDir/dictionary"
+    val buckets = cfg.buckets
+
+    val sorted = chunks
+      .repartition(cfg.shufflePartitions, $"term", $"fieldId", $"salt")
+      // term first: the string sort-prefix discriminates; firstDoc last
+      // restores global docId order (chunks cover disjoint ranges)
+      .sortWithinPartitions($"term", $"fieldId", $"salt", $"firstDoc")
+      .as[BlockChunk]
+
+    val lineageAcc = new org.apache.spark.util.CollectionAccumulator[LineageRow]()
+    spark.sparkContext.register(lineageAcc, "lineage")
+
+    val runs: Dataset[PostingRun] =
+      sorted.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val asm = new RunAssembler(buckets)
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+        var termLo: String = null
+        var termHi: String = null
+        var bucketSeen = -1
+        var nRuns = 0L; var nPost = 0L; var nBytes = 0L
+        def record(r: PostingRun): PostingRun = {
+          nRuns += 1; nPost += r.df; bucketSeen = r.bucket
+          if (termLo == null || r.term < termLo) termLo = r.term
+          if (termHi == null || r.term > termHi) termHi = r.term
+          r.blocks.foreach { b =>
+            nBytes += b.docsDelta.length + b.tfs.length
+            sha.update(b.docsDelta); sha.update(b.tfs)
+          }
+          r
+        }
+        var lineageDone = false
+        def finishLineage(): Unit = if (!lineageDone) {
+          lineageDone = true
+          lineageAcc.add(LineageRow(pid, bucketSeen,
+            Option(termLo).getOrElse(""), Option(termHi).getOrElse(""),
+            nRuns, nPost, nBytes, sha.digest().map("%02x".format(_)).mkString))
+        }
+        it.flatMap(c => asm.add(c).map(record)) ++
+          new Iterator[PostingRun] { // flush AFTER input exhausts, then lineage
+            private var state = 0 // 0 = not flushed, 1 = holding run, 2 = done
+            private var v: PostingRun = _
+            def hasNext: Boolean = state match {
+              case 0 => asm.flush() match {
+                case Some(r) => v = record(r); state = 1; true
+                case None => finishLineage(); state = 2; false
+              }
+              case 1 => true
+              case _ => false
+            }
+            def next(): PostingRun = { val r = v; state = 2; finishLineage(); r }
+          }
+      }
+
+    // bucketDirs: term lookups prune whole directories (a q-term query
+    // opens <= q/buckets of the files' footers — file-level pruning on top
+    // of the term-major row-group stats); see IndexConfig.bucketDirs for
+    // the write-cost tradeoff.
+    timed("postWrite") {
+      val w = runs.write.mode("overwrite")
+      (if (cfg.bucketDirs) w.partitionBy("bucket") else w).parquet(postingsPath)
+    }
+    timed("lineageWrite") {
+      import scala.jdk.CollectionConverters._
+      val rows = lineageAcc.value.asScala.toSeq
+        .groupBy(_.partitionId).map(_._2.head).toSeq // dedupe retried tasks
+      spark.createDataset(rows).write.mode("overwrite").parquet(lineagePath)
+    }
+    snap.markStageDone("postings")
+    // dictionary from a NARROW re-read: parquet skips the untouched blocks
+    // column entirely, so this scans only (bucket, field, term, df, cf)
+    if (!snap.stageDone("dictionary")) timed("dictionary") {
+      writeDictionary(spark.read.parquet(postingsPath)
+        .select($"bucket", $"field", $"term", $"df", $"cf"), dictPath, cfg)
+      snap.markStageDone("dictionary")
+    }
+  }
+
   /** Stage timing (stderr) — enabled with SPARK_GRAFT_TIMING=1. */
   private def timed[T](stage: String)(body: => T): T = {
     val t0 = System.nanoTime()
@@ -232,86 +327,8 @@ object IndexBuilder {
     // ceil(df_chunk/blockSize) times per chunk instead of df times.
     if (needPostings) timed("postings") {
       // `chunk.*` select (not flatMap): prunes the stats columns from the scan
-      val sorted = src.toDF().filter($"chunk".isNotNull).select($"chunk.*")
-        .repartition(cfg.shufflePartitions, $"term", $"fieldId", $"salt")
-        // term first: the string sort-prefix discriminates; firstDoc last
-        // restores global docId order (chunks cover disjoint ranges)
-        .sortWithinPartitions($"term", $"fieldId", $"salt", $"firstDoc")
-        .as[BlockChunk]
-
-      // lineage rows (ONE per partition) ride an accumulator out of the same
-      // pass that writes the postings — no caching of the run dataset.
-      // (Round 2 first persisted the runs to serve lineage + dictionary; the
-      // columnar cache of the block binaries cost more CPU to build and
-      // re-scan — measured 65s at 400k docs/16 cores — than it saved.)
-      // Task retries can add duplicate rows; the driver dedupes by pid.
-      val lineageAcc = new org.apache.spark.util.CollectionAccumulator[LineageRow]()
-      spark.sparkContext.register(lineageAcc, "lineage")
-
-      val runs: Dataset[PostingRun] =
-        sorted.mapPartitions { it =>
-          val pid = TaskContext.getPartitionId()
-          val asm = new RunAssembler(buckets)
-          val sha = java.security.MessageDigest.getInstance("SHA-256")
-          var termLo: String = null
-          var termHi: String = null
-          var bucketSeen = -1
-          var nRuns = 0L; var nPost = 0L; var nBytes = 0L
-          def record(r: PostingRun): PostingRun = {
-            nRuns += 1; nPost += r.df; bucketSeen = r.bucket
-            if (termLo == null || r.term < termLo) termLo = r.term
-            if (termHi == null || r.term > termHi) termHi = r.term
-            r.blocks.foreach { b =>
-              nBytes += b.docsDelta.length + b.tfs.length
-              sha.update(b.docsDelta); sha.update(b.tfs)
-            }
-            r
-          }
-          var lineageDone = false
-          def finishLineage(): Unit = if (!lineageDone) {
-            lineageDone = true
-            lineageAcc.add(LineageRow(pid, bucketSeen,
-              Option(termLo).getOrElse(""), Option(termHi).getOrElse(""),
-              nRuns, nPost, nBytes, sha.digest().map("%02x".format(_)).mkString))
-          }
-          it.flatMap(c => asm.add(c).map(record)) ++
-            new Iterator[PostingRun] { // flush AFTER input exhausts, then lineage
-              private var state = 0 // 0 = not flushed, 1 = holding run, 2 = done
-              private var v: PostingRun = _
-              def hasNext: Boolean = state match {
-                case 0 => asm.flush() match {
-                  case Some(r) => v = record(r); state = 1; true
-                  case None => finishLineage(); state = 2; false
-                }
-                case 1 => true
-                case _ => false
-              }
-              def next(): PostingRun = { val r = v; state = 2; finishLineage(); r }
-            }
-        }
-
-      // bucketDirs: term lookups prune whole directories (a q-term query
-      // opens <= q/buckets of the files' footers — file-level pruning on top
-      // of the term-major row-group stats); see IndexConfig.bucketDirs for
-      // the write-cost tradeoff.
-      timed("postWrite") {
-        val w = runs.write.mode("overwrite")
-        (if (cfg.bucketDirs) w.partitionBy("bucket") else w).parquet(postingsPath)
-      }
-      timed("lineageWrite") {
-        import scala.jdk.CollectionConverters._
-        val rows = lineageAcc.value.asScala.toSeq
-          .groupBy(_.partitionId).map(_._2.head).toSeq // dedupe retried tasks
-        spark.createDataset(rows).write.mode("overwrite").parquet(lineagePath)
-      }
-      snap.markStageDone("postings")
-      // dictionary from a NARROW re-read: parquet skips the untouched blocks
-      // column entirely, so this scans only (bucket, field, term, df, cf)
-      if (!snap.stageDone("dictionary")) timed("dictionary") {
-        writeDictionary(spark.read.parquet(postingsPath)
-          .select($"bucket", $"field", $"term", $"df", $"cf"), dictPath, cfg)
-        snap.markStageDone("dictionary")
-      }
+      val chunks = src.toDF().filter($"chunk".isNotNull).select($"chunk.*")
+      assembleAndWritePostings(spark, chunks, outDir, cfg, snap)
     }
     if (needBoth) src.unpersist()
     while (!pendingCaches.isEmpty) { Option(pendingCaches.poll()).foreach(_.unpersist()) }

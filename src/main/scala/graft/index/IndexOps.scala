@@ -1,6 +1,6 @@
 package graft.index
 
-import graft.core.CodeDoc
+import graft.core.{CodeDoc, DocStats, PostingRun}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -94,6 +94,136 @@ object IndexOps {
     val survivors = base.join(incoming.toDF().select(KeyCols.map(col): _*).distinct(),
       KeyCols, "left_anti").as[CodeDoc]
     IndexBuilder.build(spark, survivors.unionByName(incoming), outDir, cfg)
+  }
+
+  /** Segment compaction WITHOUT the raw corpus — the Lucene merge analog.
+    * Re-keys every surviving document of the input segments into one dense
+    * docId space (segment offsets, tombstones squeezed out), re-encodes
+    * posting blocks map-side from the segments' own posting lists, and runs
+    * the standard chunk-shuffle assembly. At 100 TB this is the compaction
+    * path: merging reads the (compressed) index, never the source table —
+    * deletes become free space, delta segments fold into the base, and BM25
+    * stats equal a fresh build over the surviving corpus exactly (tombstoned
+    * docs vanish from N, df, cf, and avgLen).
+    *
+    * Tombstone remap is a per-segment broadcast of the (small) sorted
+    * tombstone array: newId = segmentOffset + oldId - (#tombstones < oldId),
+    * a map-side binary search — monotone per segment, so decoded blocks stay
+    * docId-sorted and re-encode streaming with no sort.
+    *
+    * Block `minQuantLen` metadata carries over as the min of contributing
+    * source blocks — a lower bound of the true block min, so WAND upper
+    * bounds stay admissible (scoring itself reads exact norms from docstats).
+    */
+  def mergeSegments(spark: SparkSession, segmentDirs: Seq[String], outDir: String,
+                    cfg: IndexConfig = IndexConfig()): IndexMeta = {
+    import spark.implicits._
+    val snap = new Snapshot(outDir)
+    snap.init()
+    val metas = segmentDirs.map(d => IndexMeta.fromProps(new Snapshot(d).readProps()))
+    val tombs = segmentDirs.map(d => Tombstones.loadSet(spark, d).toArray.sorted)
+    val survivors = metas.zip(tombs).map { case (m, t) => m.nDocs - t.length }
+    val offsets = survivors.scanLeft(0L)(_ + _)
+    val saltRange = cfg.saltRange
+    val blockSize = cfg.blockSize
+    val fieldIdOf: Map[String, Byte] =
+      cfg.fields.zipWithIndex.map { case (f, i) => f -> i.toByte }.toMap
+
+    // #tombstones strictly below `old` (sorted-array rank)
+    def rankBelow(ts: Array[Long], old: Long): Int = {
+      var lo = 0; var hi = ts.length
+      while (lo < hi) { val mid = (lo + hi) >>> 1; if (ts(mid) < old) lo = mid + 1 else hi = mid }
+      lo
+    }
+
+    // ---- docstats: re-key + drop tombstoned, one map pass per segment ----
+    if (!snap.stageDone("docstats")) {
+      val parts = segmentDirs.zipWithIndex.map { case (d, i) =>
+        val tsB = spark.sparkContext.broadcast(tombs(i))
+        val off = offsets(i)
+        spark.read.parquet(s"$d/docstats").as[DocStats]
+          .mapPartitions { it =>
+            val ts = tsB.value
+            val tset = ts.toSet
+            it.filter(s => !tset.contains(s.docId)).map { s =>
+              val nid = off + s.docId - rankBelow(ts, s.docId)
+              s.copy(docId = nid, salt = (nid / saltRange).toInt)
+            }
+          }
+      }
+      parts.map(_.toDF()).reduce(_ unionByName _)
+        .repartitionByRange(cfg.shufflePartitions, col("docId"))
+        .sortWithinPartitions(col("docId"))
+        .write.mode("overwrite").parquet(s"$outDir/docstats")
+      snap.markStageDone("docstats")
+    }
+
+    // ---- postings: decode -> drop -> re-key -> re-encode chunks map-side,
+    // then the shared chunk-shuffle assembly ----
+    if (!snap.stageDone("postings")) {
+      val chunkParts = segmentDirs.zipWithIndex.map { case (d, i) =>
+        val tsB = spark.sparkContext.broadcast(tombs(i))
+        val off = offsets(i)
+        spark.read.parquet(s"$d/postings").as[PostingRun]
+          .mapPartitions { runs =>
+            val ts = tsB.value
+            val tset = ts.toSet
+            runs.flatMap { run =>
+              val fid = fieldIdOf(run.field)
+              val out = scala.collection.mutable.ArrayBuffer.empty[graft.core.BlockChunk]
+              val docBuf = new Array[Long](blockSize)
+              val tfBuf = new Array[Int](blockSize)
+              var n = 0; var maxTf = 0; var minQL = Int.MaxValue; var cf = 0L
+              var curSalt = -1
+              def cut(): Unit = if (n > 0) {
+                out += graft.core.BlockChunk(fid, run.term, curSalt,
+                  docBuf(0), docBuf(n - 1), n, maxTf, minQL, cf,
+                  graft.core.Codec.encodeDocIds(java.util.Arrays.copyOf(docBuf, n)),
+                  graft.core.Codec.encodeTfs(java.util.Arrays.copyOf(tfBuf, n)))
+                n = 0; maxTf = 0; minQL = Int.MaxValue; cf = 0L
+              }
+              run.blocks.foreach { b =>
+                val ids = graft.core.Codec.decodeDocIds(b.docsDelta, b.n)
+                val tfs = graft.core.Codec.decodeTfs(b.tfs, b.n)
+                var j = 0
+                while (j < b.n) {
+                  val old = ids(j)
+                  if (!tset.contains(old)) {
+                    val nid = off + old - rankBelow(ts, old)
+                    val salt = (nid / saltRange).toInt
+                    if (salt != curSalt) { cut(); curSalt = salt }
+                    docBuf(n) = nid; tfBuf(n) = tfs(j)
+                    if (tfs(j) > maxTf) maxTf = tfs(j)
+                    if (b.minQuantLen < minQL) minQL = b.minQuantLen
+                    cf += tfs(j); n += 1
+                    if (n == blockSize) cut()
+                  }
+                  j += 1
+                }
+              }
+              cut()
+              out
+            }
+          }
+      }
+      val chunks = chunkParts.map(_.toDF()).reduce(_ unionByName _)
+      IndexBuilder.assembleAndWritePostings(spark, chunks, outDir, cfg, snap)
+    }
+
+    // ---- meta + commit ----
+    val stats = spark.read.parquet(s"$outDir/docstats")
+      .agg(count(lit(1)), sum(col("lenContent")), sum(col("lenPath")), sum(col("lenRepo")))
+      .collect()(0)
+    val nDocs = stats.getLong(0)
+    val meta = IndexMeta(
+      nDocs = nDocs,
+      avgLen = Map(
+        "content" -> stats.getLong(1).toDouble / nDocs,
+        "path" -> stats.getLong(2).toDouble / nDocs,
+        "repo" -> stats.getLong(3).toDouble / nDocs),
+      buckets = cfg.buckets, saltRange = cfg.saltRange, blockSize = cfg.blockSize)
+    snap.commit(meta.toProps ++ Map("fields" -> cfg.fields.mkString(",")))
+    meta
   }
 
   /** K5 JSONL dump: page the document set to `maxRecordsPerFile`-bounded

@@ -92,4 +92,70 @@ class MultiSearcherSpec extends AnyFunSuite {
     assert(multi.normBuilds.get() == buildsAfterFirst,
       "repeat/different queries must not re-collect docstats")
   }
+
+  test("mergeSegments: compaction without source == fresh build over survivors") {
+    import graft.index.IndexOps
+    // fresh copies of the two segments so tombstones don't leak to other tests
+    val a = spark.range(0, 600).as[Long].map(i => CodeCorpus.genDoc(i, 15))
+    val b = spark.range(600, 1200).as[Long].map(i => CodeCorpus.genDoc(i, 15))
+    val dA = java.nio.file.Files.createTempDirectory("mergeA").toString
+    val dB = java.nio.file.Files.createTempDirectory("mergeB").toString
+    IndexBuilder.build(spark, a, dA, cfg.copy(bucketDirs = true))
+    IndexBuilder.build(spark, b, dB, cfg)
+    // tombstone 3 docs in A and 2 in B (by natural key)
+    def keysOf(dir: String, ids: Seq[Long]) =
+      spark.read.parquet(s"$dir/docstats")
+        .filter(org.apache.spark.sql.functions.col("docId").isin(ids: _*))
+        .select("repo", "path", "commit").as[(String, String, String)].collect().toSeq
+    val delKeysA = keysOf(dA, Seq(5L, 100L, 599L))
+    val delKeysB = keysOf(dB, Seq(0L, 300L))
+    IndexOps.deleteInPlace(spark, dA, delKeysA)
+    IndexOps.deleteInPlace(spark, dB, delKeysB)
+    // the generation ordinal is embedded in the path (FileN); docIds are
+    // sha-ranked per segment, so recover ordinals from the deleted keys
+    val deletedOrdinals = (delKeysA ++ delKeysB)
+      .map(_._2.replaceAll(".*File(\\d+)\\..*", "$1").toLong).toSet
+    val deletedShas =
+      (spark.read.parquet(s"$dA/docstats")
+        .filter(org.apache.spark.sql.functions.col("docId").isin(5L, 100L, 599L)) unionByName
+        spark.read.parquet(s"$dB/docstats")
+          .filter(org.apache.spark.sql.functions.col("docId").isin(0L, 300L)))
+        .select("sha").as[String].collect().toSet
+
+    val merged = java.nio.file.Files.createTempDirectory("mergeOut").toString
+    val meta = IndexOps.mergeSegments(spark, Seq(dA, dB), merged, cfg)
+    assert(meta.nDocs == 1195)
+
+    // docIds dense 0..1194, no tombstoned shas remain
+    val ids = spark.read.parquet(s"$merged/docstats").select("docId").as[Long].collect().sorted
+    assert(ids.head == 0 && ids.last == 1194 && ids.toSet.size == 1195)
+    val mergedShas = spark.read.parquet(s"$merged/docstats").select("sha").as[String].collect().toSet
+    assert(deletedShas.intersect(mergedShas).isEmpty)
+
+    // fresh build over exactly the surviving corpus: identical stats + scores
+    val survivors = spark.range(0, 1200).as[Long].map(i => CodeCorpus.genDoc(i, 15))
+      .filter(d => !deletedOrdinals.contains(
+        d.path.replaceAll(".*File(\\d+)\\..*", "$1").toLong))
+    val freshDir = java.nio.file.Files.createTempDirectory("mergeFresh").toString
+    val freshMeta = IndexBuilder.build(spark, survivors, freshDir, cfg)
+    assert(freshMeta.nDocs == meta.nDocs)
+    meta.avgLen.foreach { case (f, v) =>
+      assert(math.abs(v - freshMeta.avgLen(f)) < 1e-9, s"avgLen($f)")
+    }
+    val mSha = shaOf(merged)
+    val fSha = shaOf(freshDir)
+    val mSearch = new Searcher(spark, merged)
+    val fSearch = new Searcher(spark, freshDir)
+    Seq(("buffer", 10), ("def class import return", 10), ("buffer sort merge", 5),
+      ("binary search tree implementation", 10)).foreach { case (q, k) =>
+      val m = mSearch.search(q, k).toSeq.map(h => (mSha(h.docId), h.score))
+      val f = fSearch.search(q, k).toSeq.map(h => (fSha(h.docId), h.score))
+      assert(m.map(_._2) == f.map(_._2), s"[$q] score sequence")
+      if (f.nonEmpty) {
+        val boundary = f.last._2
+        assert(m.filter(_._2 > boundary).map(_._1).toSet ==
+          f.filter(_._2 > boundary).map(_._1).toSet, s"[$q] above-boundary docs")
+      }
+    }
+  }
 }
