@@ -363,6 +363,7 @@ object RelationalQueries {
     // near-dup CLUSTERS: the q_minhash_lsh candidate pairs closed into
     // connected components (Dedup.connectedComponents, min-label
     // propagation) — one representative per duplicate group
+
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
         .withColumn("w", split(lower(trim(col("text"))), "\\s+"))
@@ -387,6 +388,15 @@ object RelationalQueries {
             x => x.cast("string")), "|").as("members"))
         .select(col("label").as("cluster_rep"), col("n_members"), col("members"))
         .orderBy(col("cluster_rep"))
+    }),
+
+    // end-to-end near-dup corpus dedup: pairs -> clusters -> representative
+    // kept, losers dropped (the composed training-data pipeline)
+    "q_dedup_corpus" -> ((s, dir) => {
+      graft.ops.Dedup.dedupCorpus(
+        t(s, dir, "documents").filter(col("doc_id") < 60), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
     }),
 
     // F6 serialize_term: controlled-vocabulary id->label via broadcast map
@@ -736,6 +746,33 @@ object RelationalQueries {
         |  max(doc_id) AS last_doc
         |FROM documents WHERE substr(md5(doc_id::varchar), 1, 1) = '0'
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dedup_corpus" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+        |    WHERE doc_id < 60),
+        |s AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END) AS sh FROM w),
+        |sigs AS (SELECT doc_id,
+        |    unnest(generate_series(0, 7)) AS band,
+        |    unnest(list_transform(generate_series(0, 7),
+        |      b -> list_min(list_transform(sh, x -> md5(b::varchar || ':' || x))))) AS sig
+        |  FROM s WHERE len(sh) > 0),
+        |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
+        |  WHERE l.doc_id < r.doc_id),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT a AS node, a AS r FROM edges
+        |  UNION
+        |  SELECT e.a AS node, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+        |comp AS (SELECT node, min(r) AS cluster_rep FROM reach GROUP BY node)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id < 60
+        |  AND doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster_rep)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE

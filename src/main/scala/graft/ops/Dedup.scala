@@ -127,6 +127,33 @@ object Dedup {
       b => struct(b.as("band"),
         array_min(transform(sh, s => md5(concat(b.cast("string"), lit(":"), s)))).as("sig")))
 
+  /** End-to-end near-dup corpus deduplication — the composed pipeline a
+    * training-data run actually executes: shingle -> MinHash bands -> LSH
+    * candidate pairs -> connected components -> keep ONE representative per
+    * cluster (the minimum id) and drop the rest. Returns the deduplicated
+    * corpus with the input's schema. Every stage is the shuffle-friendly
+    * shape proven above (banded equi-join, min-label propagation); the final
+    * drop is one anti-join.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  shingleK: Int = 3, bands: Int = 8): DataFrame = {
+    val banded = df
+      .withColumn("_sh", array_distinct(
+        shingles(split(lower(trim(col(textCol))), "\\s+"), shingleK)))
+      .filter(size(col("_sh")) > 0)
+      .withColumn("_b", minhashBands(col("_sh"), bands))
+      .select(col(idCol).as("_id"), explode(col("_b")).as("bs"))
+      .select(col("_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val l = banded.select(col("_id").as("a"), col("band"), col("sig"))
+    val r = banded.select(col("_id").as("b"), col("band"), col("sig"))
+    val pairs = l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val losers = connectedComponents(pairs)
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over an undirected edge list — turns near-dup
     * PAIRS (from minhash/simhash banding) into dedup CLUSTERS, so one
     * representative per cluster can be kept. Iterative min-label
