@@ -1,70 +1,38 @@
 #!/usr/bin/env python3
-"""Regenerate ControlledFields vocab tables from the reference's public
-authority lists (feed_ursus/controlled_fields.py). Data-only port: these are
-public controlled vocabularies (LoC / CC / IIIF URIs and MARC language codes);
-parity requires the exact tables."""
-import ast, re, sys
+"""Regenerate the controlled-vocabulary TSV resources from the reference's
+public authority lists (feed_ursus/controlled_fields.py). Data-only port:
+these are public controlled vocabularies (LoC / CC / IIIF URIs and MARC
+language codes); parity requires the exact tables. Stored as resources
+(id <TAB> label), loaded by graft.docprep.ControlledVocab."""
+import ast
 
 SRC = "/root/reference/feed_ursus/controlled_fields.py"
-OUT = "/root/repo/src/main/scala/graft/docprep/ControlledVocab.scala"
+OUT = "/root/repo/src/main/resources/graft/controlled_vocab"
 
 text = open(SRC).read()
 tree = ast.parse(text)
-
-def esc(s):
-    return s.replace("\\", "\\\\").replace('"', '\\"')
-
-enums = {}      # name -> list[(id, label)]
-langs = None
+enums, langs = {}, None
 for node in tree.body:
-    # functional Enum syntax: X = Enum("X", (...))
     if isinstance(node, ast.Assign) and isinstance(node.value, ast.Call) \
        and getattr(node.value.func, "id", "") == "Enum":
-        name = node.targets[0].id
-        pairs = ast.literal_eval(node.value.args[1])
-        enums[name] = list(pairs)
-    # class Enum syntax
+        enums[node.targets[0].id] = list(ast.literal_eval(node.value.args[1]))
     elif isinstance(node, ast.ClassDef) and any(getattr(b, "id", "") == "Enum" for b in node.bases):
-        pairs = []
-        for stmt in node.body:
-            if isinstance(stmt, ast.Assign) and isinstance(stmt.value, ast.Constant):
-                pairs.append((stmt.targets[0].id, stmt.value.value))
-        enums[node.name] = pairs
+        enums[node.name] = [(st.targets[0].id, st.value.value) for st in node.body
+                            if isinstance(st, ast.Assign) and isinstance(st.value, ast.Constant)]
     elif isinstance(node, ast.Assign) and getattr(node.targets[0], "id", "") == "language_names":
         langs = ast.literal_eval(node.value)
 
-def scala_map(name, pairs, doc):
-    lines = [f"  /** {doc} */"]
-    lines.append(f"  val {name}: Map[String, String] = Map(")
-    for k, v in pairs:
-        lines.append(f'    "{esc(str(k))}" -> "{esc(str(v))}",')
-    lines.append("  )")
-    return "\n".join(lines)
+import os
+os.makedirs(OUT, exist_ok=True)
+def write(name, pairs):
+    with open(f"{OUT}/{name}.tsv", "w") as f:
+        for k, v in pairs:
+            f.write(f"{k}\t{v}\n")
+    print(f"{name}.tsv: {len(pairs)}")
 
-out = ['package graft.docprep',
-'',
-'/** Controlled vocabularies ported verbatim (data-only) from the reference\'s',
-'  * public authority tables — feed_ursus/controlled_fields.py:15-769, which',
-'  * in turn mirror UCLALibrary/californica config/authorities YAMLs (public',
-'  * LoC / Creative Commons / IIIF URIs and MARC language codes). Generated by',
-'  * tools/gen_controlled_fields.py; do not edit by hand.',
-'  *',
-'  * Maps are id -> label ("id" = the Python Enum member name, usually a URI;',
-'  * "label" = the Enum value, the human-readable term).',
-'  */',
-'object ControlledVocab {',
-'']
-out.append(scala_map("license", enums["License"], "controlled_fields.py License (15 CC/Europeana URIs)"))
-out.append("")
-out.append(scala_map("resourceType", enums["ResourceType"], "controlled_fields.py ResourceType (LoC resourceTypes)"))
-out.append("")
-out.append(scala_map("rightsStatement", enums["RightsStatement"], "controlled_fields.py RightsStatement"))
-out.append("")
-out.append(scala_map("textDirection", enums["TextDirection"], "controlled_fields.py TextDirection (IIIF presentation 2)"))
-out.append("")
-out.append(scala_map("viewingHint", enums["ViewingHint"], "controlled_fields.py ViewingHint (IIIF presentation 2)"))
-out.append("")
-out.append(scala_map("languageNames", sorted(langs.items()), f"controlled_fields.py language_names ({len(langs)} MARC-ish codes)"))
-out.append("}")
-open(OUT, "w").write("\n".join(out) + "\n")
-print(f"wrote {OUT}: license={len(enums['License'])} resourceType={len(enums['ResourceType'])} langs={len(langs)}")
+write("license", enums["License"])
+write("resource_type", enums["ResourceType"])
+write("rights_statement", enums["RightsStatement"])
+write("text_direction", enums["TextDirection"])
+write("viewing_hint", enums["ViewingHint"])
+write("language_names", sorted(langs.items()))
