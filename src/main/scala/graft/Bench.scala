@@ -48,6 +48,8 @@ object Bench {
           "--add-opens=java.base/sun.security.action=ALL-UNNAMED " +
           "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED")
       .config("spark.sql.shuffle.partitions", (totalCores * 2).toString)
+      .config("spark.sql.inMemoryColumnarStorage.compressed",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_COMPRESS", "true"))
       .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

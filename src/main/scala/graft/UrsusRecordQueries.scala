@@ -104,7 +104,7 @@ object UrsusRecordQueries {
         |  CASE pk % 4 WHEN 0 THEN '1941|1942' WHEN 1 THEN '935'
         |    ELSE NULL END AS years,
         |  CASE pk % 4 WHEN 0 THEN '1941-10-01T00:00:00Z'
-        |    WHEN 1 THEN '0935-01-01T00:00:00Z' ELSE NULL END AS date_first,
+        |    WHEN 1 THEN '935-01-01T00:00:00Z' ELSE NULL END AS date_first,
         |  CASE
         |    WHEN pk % 2 = 0 AND pk % 3 = 0
         |      THEN 'Coll ' || (pk % 7)::varchar || ' (123), Box 4, Folder 5'

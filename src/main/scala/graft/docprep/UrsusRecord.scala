@@ -97,10 +97,15 @@ object UrsusRecord {
     when(arr.isNotNull && size(clean) > 0, transform(clean, d => wsTrim(d))).otherwise(nullArr)
   }
 
-  /** pysolr _from_python: ISO instant `yyyy-MM-ddTHH:mm:ssZ`. */
+  /** pysolr _from_python: `%Y-%m-%dT%H:%M:%SZ` via strftime — note Python's
+    * `%Y` does NOT zero-pad years below 1000 ('935-01-01T00:00:00Z'), so the
+    * padded ISO year is un-padded here for byte parity with the reference
+    * (gated by tools/ursus_parity.py against the actual pydantic model).
+    */
   private def solrDates(endpoints: Column): Column =
     when(endpoints.isNotNull,
-      transform(endpoints, e => date_format(e.cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'")))
+      transform(endpoints, e => regexp_replace(
+        date_format(e.cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'"), "^0+", "")))
       .otherwise(nullArr)
 
   /** Project a CSV-shaped frame (columns named by the reference's csv

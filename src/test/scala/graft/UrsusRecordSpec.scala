@@ -108,9 +108,11 @@ class UrsusRecordSpec extends AnyFunSuite {
   test("normalized date machinery: year_isim, date_dtsim, dtsort, A<=B validity") {
     val r = project("Date.normalized" -> "1941-10/1942|~|935")
     assert(intsOf(r, "year_isim") == Seq(935, 1941, 1942))
-    assert(seqOf(r, "date_dtsim") == Seq("0935-01-01T00:00:00Z",
+    // python strftime %Y does not zero-pad (reference parity, gated by
+    // tools/ursus_parity.py against the actual pydantic model)
+    assert(seqOf(r, "date_dtsim") == Seq("935-01-01T00:00:00Z",
       "1941-10-01T00:00:00Z", "1942-01-01T00:00:00Z"))
-    assert(get[String](r, "date_dtsort") == "0935-01-01T00:00:00Z")
+    assert(get[String](r, "date_dtsort") == "935-01-01T00:00:00Z")
     // invalid range (start after end, date_parser.py:40-41) is dropped
     val bad = project("Date.normalized" -> "1950/1940")
     assert(seqOf(bad, "normalized_date_tesim") == null)
