@@ -134,7 +134,11 @@ object IndexBuilder {
     runCols
       .groupBy(col("bucket"), col("field"), col("term"))
       .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
-      .repartitionByRange(math.max(1, cfg.buckets / 8), col("field"), col("term"))
+      // coalesce + sort-within (NOT repartitionByRange): probe pruning only
+      // needs tight per-row-group min/max on (field, term), which sorted
+      // files give regardless of which file a term lands in — and this
+      // skips a second exchange plus the range sampling job per build
+      .coalesce(math.max(1, cfg.buckets / 8))
       .sortWithinPartitions(col("field"), col("term"))
       .write.mode("overwrite").parquet(dictPath)
 
