@@ -55,9 +55,11 @@ object SparkEntry {
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ EngineQueries.queries ++ UrsusRecordQueries.queries
+    RelationalQueries.queries ++ EngineQueries.queries ++
+      UrsusRecordQueries.queries ++ SinaiQueries.queries
 
   /** DuckDB-equivalent SQL per query (same column names, same ordering). */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ UrsusRecordQueries.oracleSql
+    RelationalQueries.oracleSql ++ UrsusRecordQueries.oracleSql ++
+      SinaiQueries.oracleSql
 }

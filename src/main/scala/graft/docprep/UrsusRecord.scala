@@ -319,14 +319,18 @@ object UrsusRecord {
       "subject_geographic", "subject_temporal")
       .map(f => coalesce(col(s"${f}_tesim"), array().cast("array<string>")))
 
-    val dateEndpoints = { // date_parser.get_dates: sorted distinct endpoints
+    val dateEndpoints = { // date_parser.get_dates: sorted(set(datetime)) —
+      // dedupe + sort happen on the PARSED instant, not the padded text, so
+      // '935' and '935-01-01' (same instant, different strings) collapse to
+      // one endpoint exactly like the reference's datetime set does
       val pads = flatten(transform(col("normalized_date_tesim"), d =>
         when(instr(d, "/") > 0,
           array(padThreeDigitYear(regexp_extract(d, "(.*)/(.*)", 1)),
             padThreeDigitYear(regexp_extract(d, "(.*)/(.*)", 2))))
           .otherwise(array(padThreeDigitYear(d)))))
-      when(col("normalized_date_tesim").isNotNull, array_sort(array_distinct(pads)))
-        .otherwise(nullArr)
+      when(col("normalized_date_tesim").isNotNull,
+        array_sort(array_distinct(transform(pads, e => e.cast("timestamp")))))
+        .otherwise(lit(null).cast("array<timestamp>"))
     }
 
     def nonEmptyOrNull(c: Column): Column =

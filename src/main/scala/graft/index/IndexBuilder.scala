@@ -349,11 +349,15 @@ object IndexBuilder {
     // When the docstats write ran, the fused pass computed inside ITS result
     // stage, where Spark applies accumulator updates exactly once per task
     // (retries don't double-count result-stage accumulators) — the commit
-    // stats are free. On resume paths (pass skipped, or pass materialized by
-    // the shuffle-map side of postWrite where map-stage retries CAN
-    // double-count), aggregate from the docstats parquet instead.
+    // stats are free. But if cached src partitions were lost and recomputed
+    // during the LATER postings job (a shuffle-map stage, where retries CAN
+    // double-count), the accumulators silently skew BM25's nDocs/avgLen.
+    // Guard: cross-check accDocs against the written docstats row count (a
+    // parquet count(*) is footer-metadata-only — cheap) and fall back to the
+    // full parquet aggregate on any mismatch or on resume paths.
     val stats: (Long, Long, Long, Long) = timed("statsAgg") {
-      if (needDocstats && accDocs.value > 0)
+      if (needDocstats && accDocs.value > 0 &&
+          spark.read.parquet(docstatsPath).count() == accDocs.value)
         (accDocs.value, accLenC.value, accLenP.value, accLenR.value)
       else {
         val r = spark.read.parquet(docstatsPath)

@@ -21,14 +21,26 @@ object IndexOps {
     */
   private val KeyCols = Seq("repo", "path", "commit")
 
+  /** RAW docstats table, INCLUDING tombstoned rows — for internal key
+    * resolution ([[deleteInPlace]]) only. Reader-facing surfaces go through
+    * [[liveDocs]] so committed deletes are invisible everywhere search/
+    * filter/facet already make them invisible (Solr RTG semantics).
+    */
   def docs(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/docstats")
 
-  /** S4 realtime-get by ids: broadcast semi join of the id list. */
+  /** Documents visible to readers: docstats minus committed tombstones. */
+  def liveDocs(spark: SparkSession, indexDir: String): DataFrame =
+    Tombstones.exclude(spark, indexDir, docs(spark, indexDir))
+
+  /** S4 realtime-get by ids: broadcast semi join of the id list. Respects
+    * committed deletes (a deleted or replaced doc is NOT returned), matching
+    * Solr where RTG sees deletes once they are soft-committed.
+    */
   def realtimeGet(spark: SparkSession, indexDir: String, arks: Seq[(String, String, String)]): DataFrame = {
     import spark.implicits._
     val ids = arks.toDF(KeyCols: _*)
-    docs(spark, indexDir).join(broadcast(ids), KeyCols, "left_semi")
+    liveDocs(spark, indexDir).join(broadcast(ids), KeyCols, "left_semi")
   }
 
   /** A2 hit count for a compiled filter query ([[QueryFilter]]). */
@@ -238,7 +250,7 @@ object IndexOps {
       else math.max(1, math.min(10000,
         new Snapshot(indexDir).readProps().get("nDocs").map(_.toLong).getOrElse(1000L)
           / (batchSize.toLong * 100))).toInt
-    docs(spark, indexDir)
+    liveDocs(spark, indexDir)
       .repartitionByRange(p, col("docId"))
       .sortWithinPartitions(col("docId"))
       .write.mode("overwrite")

@@ -64,7 +64,12 @@ object AnnIndex {
     val props = readProps(outDir)
     val nBits = props("nBits").toInt
     val seed = props("seed").toLong
-    val planes = Similarity.hyperplanes(nBits, query.length, seed)
+    // planes derive from the PERSISTED dim: a wrong-dimension query must fail
+    // loudly, not silently hash with different planes and return garbage
+    val dim = props("dim").toInt
+    require(query.length == dim,
+      s"query dimension ${query.length} != index dimension $dim ($outDir)")
+    val planes = Similarity.hyperplanes(nBits, dim, seed)
     val qSig: Long = {
       var s = 0L
       planes.zipWithIndex.foreach { case (p, i) =>

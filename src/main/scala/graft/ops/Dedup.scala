@@ -79,23 +79,37 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
     // pigeonhole: maxHamming flipped bits can corrupt at most maxHamming of
-    // the (maxHamming + 1) bands, so one band always matches exactly
-    val nBands = math.min(maxHamming + 1, 32)
+    // the (maxHamming + 1) bands, so one band always matches exactly. At
+    // maxHamming >= 32 that layout no longer fits 64 bits (the guarantee
+    // would silently void) and band keys of < 2 bits make every bucket hot —
+    // fail loudly instead.
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32): got $maxHamming (64-bit signature " +
+        "cannot pigeonhole more bands)")
+    val nBands = maxHamming + 1
     val base = 64 / nBands
+    if (base < 8)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"simhashPairs: maxHamming=$maxHamming gives $base-bit band keys — " +
+          s"expect ~n/2^$base rows per bucket; candidate volume is bounded " +
+          s"only by maxBucket=$maxBucket drops")
     val extra = 64 % nBands
     val widths = Array.tabulate(nBands)(i => base + (if (i < extra) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     val withSig = df.select(col(idCol).as("id"),
       simhash64(split(lower(trim(col(textCol))), "\\s+")).as("sig"))
-      .persist()
     val bandStructs = (0 until nBands).map { i =>
       val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
       struct(lit(i).as("band"),
         call_function("shiftright", col("sig"), lit(offsets(i))).bitwiseAND(lit(mask)).as("key"))
     }
+    // persist the BANDED form (one level above withSig — same simhash cost,
+    // consumed by the hot-bucket count AND both join sides); released below
+    // once the result is materialized, so repeated calls don't leak storage
     val banded = withSig.select(col("id"), col("sig"),
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+      .persist()
     val hot = banded.groupBy("band", "key").count()
       .filter(col("count") > maxBucket)
       .select(col("band"), col("key"), col("count"))
@@ -112,11 +126,18 @@ object Dedup {
         broadcast(hot.select(col("band"), col("key"))), Seq("band", "key"), "left_anti")
     val l = ok.select(col("id").as("a"), col("sig").as("siga"), col("band"), col("key"))
     val r = ok.select(col("id").as("b"), col("sig").as("sigb"), col("band"), col("key"))
-    l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+    // materialize the (small — true near-dup pairs only) result so `banded`
+    // can be released HERE: the returned frame is persisted and lineage-free
+    // of the heavy simhash scan; callers may unpersist it when done
+    val out = l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), hamming64(col("siga"), col("sigb")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("hamming"), col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    banded.unpersist()
+    out
   }
 
   /** MinHash signature bands (b bands, string-min of per-band hashed
@@ -135,8 +156,16 @@ object Dedup {
     * shape proven above (banded equi-join, min-label propagation); the final
     * drop is one anti-join.
     */
-  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
-                  shingleK: Int = 3, bands: Int = 8): DataFrame = {
+  /** LSH candidate edges as a STAR per bucket (each member -> the bucket's
+    * min id), NOT all pairs: a bucket of m exact-duplicates — common in
+    * crawl corpora — emits m²/2 candidate rows as a self-join (the quadratic
+    * hot-bucket blowup) but only m-1 star edges, and the star spans exactly
+    * the same connected components, which is all dedup needs (no per-pair
+    * verify step consumes these edges). One groupBy + one join back, both
+    * linear in bucket size. Returns (a, b) with a = bucket min < b.
+    */
+  def minhashStarEdges(df: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int = 3, bands: Int = 8): DataFrame = {
     val banded = df
       .withColumn("_sh", array_distinct(
         shingles(split(lower(trim(col(textCol))), "\\s+"), shingleK)))
@@ -144,10 +173,17 @@ object Dedup {
       .withColumn("_b", minhashBands(col("_sh"), bands))
       .select(col(idCol).as("_id"), explode(col("_b")).as("bs"))
       .select(col("_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val l = banded.select(col("_id").as("a"), col("band"), col("sig"))
-    val r = banded.select(col("_id").as("b"), col("band"), col("sig"))
-    val pairs = l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    val reps = banded.groupBy(col("band"), col("sig"))
+      .agg(min(col("_id")).as("a"), count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).drop("_n")
+    banded.join(reps, Seq("band", "sig"))
+      .filter(col("_id") =!= col("a"))
+      .select(col("a"), col("_id").as("b")).distinct()
+  }
+
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  shingleK: Int = 3, bands: Int = 8): DataFrame = {
+    val pairs = minhashStarEdges(df, idCol, textCol, shingleK, bands)
     val losers = connectedComponents(pairs)
       .filter(col("node") =!= col("label"))
       .select(col("node").as(idCol))

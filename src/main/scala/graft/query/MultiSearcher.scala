@@ -2,7 +2,8 @@ package graft.query
 
 import graft.core._
 import graft.index.{IndexMeta, Snapshot}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
@@ -20,6 +21,14 @@ import scala.collection.mutable
   * (segments ordered as given, offsets cumulative), with Lucene tie-breaking
   * on the global id. A query over segments [A, B] therefore scores every
   * document exactly as a single merged index of A then B would.
+  *
+  * Physical strategy is chosen PER SEGMENT with the single-index
+  * [[Searcher]]'s router (same thresholds, same kernels): the typical
+  * deployment is one huge base segment plus small deltas, so the base runs
+  * the distributed kernel (flatMapGroups over salt, broadcast norms — or the
+  * docstats cogroup beyond [[NormsMaxDocs]]) while the deltas run the
+  * driver-local kernel, and all three are rank-identical
+  * (MultiSearcherSpec gates the forced-distributed path bit-for-bit).
   */
 class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
   import spark.implicits._
@@ -27,13 +36,15 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
   /** Per-segment state. Dictionary lookups go through the same probe-or-
     * collect [[DictProbe]] as the single-index Searcher (vocab never forced
     * to the driver); the dense norm table is built lazily ONCE per segment
-    * and reused across queries (round 1 paid a full docstats collect per
-    * query per segment — MultiSearcherSpec now gates one read per segment).
+    * and reused across queries — as a BROADCAST, so the distributed kernel
+    * reads it executor-side and the driver kernel reads the local value
+    * (one docstats read either way; MultiSearcherSpec gates the count).
     */
   private final class Segment(val dir: String, val meta: IndexMeta, val offset: Long) {
     val dict = new DictProbe(spark, s"$dir/dictionary", DictionaryMaxDriverTerms)
-    lazy val tombstones: Set[Long] = graft.index.Tombstones.loadSet(spark, dir)
-    lazy val norms: Array[Array[Byte]] = {
+    lazy val tombstonesBc: Broadcast[Set[Long]] =
+      spark.sparkContext.broadcast(graft.index.Tombstones.loadSet(spark, dir))
+    lazy val normsBc: Broadcast[Array[Array[Byte]]] = {
       normBuilds.incrementAndGet()
       val n = meta.nDocs.toInt
       val lens = Array.ofDim[Byte](3, n)
@@ -45,7 +56,7 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
           lens(1)(id.toInt) = SmallFloat.intToByte4(lp)
           lens(2)(id.toInt) = SmallFloat.intToByte4(lr)
         }
-      lens
+      spark.sparkContext.broadcast(lens)
     }
   }
 
@@ -54,8 +65,25 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
   /** Same semantics as Searcher.DictionaryMaxDriverTerms; set before use. */
   var DictionaryMaxDriverTerms: Long = 1L << 22
 
+  /** Same semantics as [[Searcher.DriverKernelMaxPostings]]: a segment whose
+    * matched posting volume exceeds this runs the distributed kernel instead
+    * of collecting runs to the driver. Per segment — a head-term query over
+    * a big base segment goes distributed while its delta stays driver-local.
+    */
+  var DriverKernelMaxPostings: Long = 4L << 20
+
+  /** Same semantics as [[Searcher.NormsMaxDocs]]: beyond this a segment's
+    * norms are never materialized driver-side; the docstats cogroup runs.
+    */
+  var NormsMaxDocs: Long = 1L << 31
+
   /** Norm-table builds (tests assert one docstats read per segment). */
   private[graft] val normBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Driver-side posting-run collects (tests assert ZERO on the forced-
+    * distributed path — no run data may reach the driver).
+    */
+  private[graft] val driverRunFetches = new java.util.concurrent.atomic.AtomicLong(0)
 
   private lazy val segments: Seq[Segment] = {
     var offset = 0L
@@ -83,11 +111,26 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
   def globalDf(key: (String, String)): Long =
     segments.map(_.dict.dfOf(Set(key)).getOrElse(key, 0L)).sum
 
+  /** Term-filtered posting runs of one segment (bucket directories pruned,
+    * term/field pruned to row groups) — the shared scan of all strategies.
+    */
+  private def filteredRuns(seg: Segment, keys: Set[(String, String)]): Dataset[PostingRun] = {
+    val termList = keys.map(_._2).toSeq
+    val fieldList = keys.map(_._1).toSeq
+    val bucketList = termList
+      .map(t => graft.index.IndexBuilder.bucketOf(t, seg.meta.buckets)).distinct
+    spark.read.parquet(s"${seg.dir}/postings")
+      .filter($"bucket".isin(bucketList: _*) &&
+        $"term".isin(termList: _*) && $"field".isin(fieldList: _*))
+      .as[PostingRun]
+  }
+
   def search(query: String, k: Int, fields: Seq[String] = DefaultFields): Array[Hit] = {
     val cls = QueryPlan.clauses(query, fields)
     if (cls.isEmpty) return Array.empty
     val needed = cls.flatMap(_.perField.toSeq).toSet
-    // one batched df resolution per segment (probe- or driver-cached)
+    // one batched df resolution per segment (probe- or driver-cached); the
+    // per-segment sums double as each segment's strategy selector, free
     val perSegDf = segments.map(_.dict.dfOf(needed))
     val idfMap = needed.toSeq
       .map(k2 => k2 -> perSegDf.map(_.getOrElse(k2, 0L)).sum).filter(_._2 > 0)
@@ -98,25 +141,87 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     val avg = globalAvgLen
 
     val top = new TopK(k)
-    segments.foreach { seg =>
-      val termList = idfMap.keySet.map(_._2).toSeq
-      val fieldList = idfMap.keySet.map(_._1).toSeq
-      val bucketList = termList
-        .map(t => graft.index.IndexBuilder.bucketOf(t, seg.meta.buckets)).distinct
-      val runs = spark.read.parquet(s"${seg.dir}/postings")
-        .filter($"bucket".isin(bucketList: _*) &&
-          $"term".isin(termList: _*) && $"field".isin(fieldList: _*))
-        .as[PostingRun].collect()
-      if (runs.nonEmpty) {
-        val lens = seg.norms // lazily built once per segment, query-reused
-        runs.groupBy(_.salt).valuesIterator.foreach { rs =>
-          Kernel.scoreSalt(rs, (fi, d) => SmallFloat.byte4ToInt(lens(fi)(d.toInt)),
-            cls, fieldArr, idfMap, avg, minMatch, k, seg.tombstones.contains)
-            .foreach(h => top.offer(Hit(seg.offset + h.docId, h.score)))
-        }
+    segments.zip(perSegDf).foreach { case (seg, segDf) =>
+      val segPostings = idfMap.keysIterator.map(k2 => segDf.getOrElse(k2, 0L)).sum
+      if (segPostings > 0) {
+        val segHits: Iterator[Hit] =
+          if (seg.meta.nDocs > NormsMaxDocs)
+            searchSegmentShuffle(seg, cls, fieldArr, idfMap, avg, minMatch, k)
+          else if (segPostings > DriverKernelMaxPostings)
+            searchSegmentDistributed(seg, cls, fieldArr, idfMap, avg, minMatch, k)
+          else
+            searchSegmentDriver(seg, cls, fieldArr, idfMap, avg, minMatch, k)
+        segHits.foreach(h => top.offer(Hit(seg.offset + h.docId, h.score)))
       }
     }
     top.sortedHits
+  }
+
+  /** Small segments: collect the term-filtered runs, kernel on the driver. */
+  private def searchSegmentDriver(seg: Segment, cls: Array[Clause], fieldArr: Array[String],
+      idfMap: Map[(String, String), Double], avg: Map[String, Double],
+      minMatch: Int, k: Int): Iterator[Hit] = {
+    driverRunFetches.incrementAndGet()
+    val runs = filteredRuns(seg, idfMap.keySet).collect()
+    val lens = seg.normsBc.value
+    val ts = seg.tombstonesBc.value
+    runs.groupBy(_.salt).valuesIterator.flatMap { rs =>
+      Kernel.scoreSalt(rs, (fi, d) => SmallFloat.byte4ToInt(lens(fi)(d.toInt)),
+        cls, fieldArr, idfMap, avg, minMatch, k, ts.contains)
+    }
+  }
+
+  /** Big-postings segments: runs stay executor-side (flatMapGroups by salt),
+    * norms read from the broadcast — the Searcher's distributed-broadcast
+    * strategy, per segment.
+    */
+  private def searchSegmentDistributed(seg: Segment, cls: Array[Clause], fieldArr: Array[String],
+      idfMap: Map[(String, String), Double], avg: Map[String, Double],
+      minMatch: Int, k: Int): Iterator[Hit] = {
+    val bc = seg.normsBc
+    val tsBc = seg.tombstonesBc
+    filteredRuns(seg, idfMap.keySet)
+      .groupByKey(_.salt)
+      .flatMapGroups { (_, it) =>
+        val lens = bc.value
+        Kernel.scoreSalt(it.toArray, (fi, d) => SmallFloat.byte4ToInt(lens(fi)(d.toInt)),
+          cls, fieldArr, idfMap, avg, minMatch, k, tsBc.value.contains)
+      }
+      .collect().iterator
+  }
+
+  /** Beyond-norms segments: cogroup runs with the segment's docstats by salt
+    * range — norms never materialize anywhere, unbounded corpus size.
+    */
+  private def searchSegmentShuffle(seg: Segment, cls: Array[Clause], fieldArr: Array[String],
+      idfMap: Map[(String, String), Double], avg: Map[String, Double],
+      minMatch: Int, k: Int): Iterator[Hit] = {
+    val tsBc = seg.tombstonesBc
+    val stats = spark.read.parquet(s"${seg.dir}/docstats")
+      .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo")
+      .as[(Long, Int, Int, Int, Int)]
+    filteredRuns(seg, idfMap.keySet).groupByKey(_.salt)
+      .cogroup(stats.groupByKey(_._2)) { case (_, runIt, statIt) =>
+        val runs = runIt.toArray
+        if (runs.isEmpty) Iterator.empty
+        else {
+          val arr = statIt.toArray
+          val ids = new mutable.HashMap[Long, Int]()
+          arr.indices.foreach(ix => ids.update(arr(ix)._1, ix))
+          def ql(fi: Int, d: Long): Int = {
+            val ix = ids(d)
+            val len = fi match {
+              case 0 => arr(ix)._3
+              case 1 => arr(ix)._4
+              case _ => arr(ix)._5
+            }
+            SmallFloat.quantizeLength(len)
+          }
+          Kernel.scoreSalt(runs, ql, cls, fieldArr, idfMap, avg, minMatch, k,
+            tsBc.value.contains)
+        }
+      }
+      .collect().iterator
   }
 
   /** Resolve a global docId back to (segmentDir, localDocId). */

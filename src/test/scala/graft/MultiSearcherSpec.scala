@@ -93,6 +93,31 @@ class MultiSearcherSpec extends AnyFunSuite {
       "repeat/different queries must not re-collect docstats")
   }
 
+  test("distributed strategies: identical hits, zero driver run collects") {
+    val baseline = new MultiSearcher(spark, Seq(segADir, segBDir))
+    val queries = Seq("buffer", "def class import return", "buffer sort merge",
+      "binary search tree implementation")
+    val expected = queries.map(q => baseline.search(q, 10).toSeq)
+    assert(baseline.driverRunFetches.get() > 0, "default path is driver-local here")
+
+    // force the big-postings branch: every segment must route its runs through
+    // flatMapGroups with broadcast norms — no posting run may reach the driver
+    val dist = new MultiSearcher(spark, Seq(segADir, segBDir))
+    dist.DriverKernelMaxPostings = 0
+    val gotDist = queries.map(q => dist.search(q, 10).toSeq)
+    assert(gotDist == expected, "distributed-kernel hits differ")
+    assert(dist.driverRunFetches.get() == 0,
+      "forced-distributed path collected posting runs to the driver")
+
+    // force the beyond-norms branch: docstats cogroup, norms never built
+    val shuf = new MultiSearcher(spark, Seq(segADir, segBDir))
+    shuf.NormsMaxDocs = 0
+    val gotShuf = queries.map(q => shuf.search(q, 10).toSeq)
+    assert(gotShuf == expected, "shuffle-cogroup hits differ")
+    assert(shuf.driverRunFetches.get() == 0 && shuf.normBuilds.get() == 0,
+      "shuffle path must touch neither driver runs nor dense norms")
+  }
+
   test("mergeSegments: compaction without source == fresh build over survivors") {
     import graft.index.IndexOps
     // fresh copies of the two segments so tombstones don't leak to other tests

@@ -204,6 +204,34 @@ class OpsSpec extends AnyFunSuite {
       again.map(_.getAs[String]("payload_sha")).toSeq)
   }
 
+  test("dedupCorpus star edges: planted 10k-dup cluster costs O(m) edges, one survivor") {
+    // 10,000 exact duplicates + 50 distinct docs. All-pairs banding would
+    // enumerate ~50M candidate pairs per band for the hot bucket; the star
+    // layout must emit at most bands*(m-1) edges total.
+    val m = 10000
+    val dupText = "spark inverted index posting list block max wand scoring kernel"
+    val dups = spark.range(0, m).select($"id",
+      when($"id" >= 0, dupText).otherwise("x").as("text"))
+    // every token id-derived: zero shared shingles between distinct docs
+    val uniques = spark.range(m, m + 50).select($"id",
+      concat_ws(" ", (0 until 6).map(j => concat(lit(s"t${j}_"),
+        ($"id" * (7919 + j)).cast("string"))): _*).as("text"))
+    val corpus = dups.unionByName(uniques)
+    val bands = 8
+    val edges = Dedup.minhashStarEdges(corpus, "id", "text", shingleK = 3, bands = bands)
+    val edgeCount = edges.count()
+    assert(edgeCount <= bands.toLong * (m + 50),
+      s"star edges must be linear in cluster size, got $edgeCount")
+    assert(edgeCount >= (m - 1).toLong, "the dup cluster must be spanned")
+    val deduped = Dedup.dedupCorpus(corpus, "id", "text", 3, bands)
+      .select("id").as[Long].collect().toSet
+    assert(deduped.contains(0L), "min-id representative survives")
+    assert(deduped.intersect((1L until m.toLong).toSet).isEmpty,
+      "all other duplicates dropped")
+    assert((m.toLong until (m + 50).toLong).forall(deduped.contains),
+      "distinct docs survive")
+  }
+
   test("minhash bands: identical shingle sets share every band signature") {
     val df = Seq(
       (1L, Seq("a b c", "b c d", "c d e")),
