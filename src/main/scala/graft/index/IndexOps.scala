@@ -83,17 +83,31 @@ object IndexOps {
     Tombstones.commitDeletes(spark, indexDir, ids.toSeq)
   }
 
+  /** K4 mass delete-by-query, fully distributed: resolve matching docIds
+    * with [[QueryFilter.matchingDocs]] (pushed-filter scans), write them as
+    * a tombstone file straight from the DataFrame, commit. NOTHING is
+    * driver-materialized — the bulk-delete regime the shuffle search
+    * strategy pairs with ([[graft.query.Searcher.TombstonesMaxBroadcast]]).
+    * Returns the new snapshot id.
+    */
+  def deleteByQueryInPlace(spark: SparkSession, indexDir: String, query: String): Long =
+    Tombstones.commitDeletesDF(spark, indexDir,
+      QueryFilter.matchingDocs(spark, indexDir, query).select(col("docId")))
+
   /** Q8 in-place upsert: tombstone the replaced keys in the base segment and
     * build the incoming batch as a DELTA segment — a [[graft.query.MultiSearcher]]
     * over (base, delta) then scores exactly like a merged rebuilt index, at
-    * O(incoming) cost. Returns the delta segment's meta.
+    * O(incoming) cost. Key resolution is DISTRIBUTED (docstats semi-joined
+    * with the incoming keys; tombstone file written from the DataFrame), so
+    * a bulk backfill never materializes its key set on the driver. Returns
+    * the delta segment's meta.
     */
   def upsertDelta(spark: SparkSession, baseDir: String, incoming: Dataset[CodeDoc],
                   deltaDir: String, cfg: IndexConfig = IndexConfig()): IndexMeta = {
-    import spark.implicits._
     val keys = incoming.toDF().select(KeyCols.map(col): _*).distinct()
-      .as[(String, String, String)].collect()
-    deleteInPlace(spark, baseDir, keys.toSeq)
+    val replaced = docs(spark, baseDir).join(keys, KeyCols, "left_semi")
+      .select(col("docId"))
+    Tombstones.commitDeletesDF(spark, baseDir, replaced)
     IndexBuilder.build(spark, incoming, deltaDir, cfg)
   }
 
@@ -133,7 +147,7 @@ object IndexOps {
     val snap = new Snapshot(outDir)
     snap.init()
     val metas = segmentDirs.map(d => IndexMeta.fromProps(new Snapshot(d).readProps()))
-    val tombs = segmentDirs.map(d => Tombstones.loadSet(spark, d).toArray.sorted)
+    val tombs = segmentDirs.map(d => Tombstones.loadSorted(spark, d))
     val survivors = metas.zip(tombs).map { case (m, t) => m.nDocs - t.length }
     val offsets = survivors.scanLeft(0L)(_ + _)
     val saltRange = cfg.saltRange

@@ -7,13 +7,22 @@ import org.apache.spark.sql.functions._
   * not a corpus rebuild (round 1's delete cost a full index rebuild — an
   * anti-pattern at 100 TB where a 10-row delete must be O(10)).
   *
-  * Layout: `tombstones/ts-<n>.parquet` (docId: long), with the CURRENT
-  * snapshot's properties naming the visible files (`tombstones=ts-0,ts-1`).
-  * Commit-gated like everything else: a killed delete leaves the old
-  * snapshot; readers only ever see fully-committed tombstone sets. Kernels
-  * exclude tombstoned docIds during scoring (so top-k never under-fills),
-  * and the filter-query path anti-joins them out. Space is O(deleted docs)
-  * until [[graft.index.IndexOps.deleteByIds]]-style compaction rebuilds.
+  * Layout: `tombstones/ts-<n>.parquet` (docId: long, sorted), with the
+  * CURRENT snapshot's properties naming the visible files
+  * (`tombstones=ts-0,ts-1`) and carrying the cumulative count
+  * (`tombstoneCount=n`) so readers can pick a strategy WITHOUT reading the
+  * tombstone data. Commit-gated like everything else: a killed delete leaves
+  * the old snapshot; readers only ever see fully-committed tombstone sets.
+  *
+  * Two consumption regimes (the Searcher routes on [[count]]):
+  *  - below [[graft.query.Searcher.TombstonesMaxBroadcast]]: a sorted
+  *    primitive Array[Long] broadcast (8 B/id — Lucene's liveDocs-bitset
+  *    analog), binary-search membership in the kernel;
+  *  - above it: nothing is ever driver-materialized — the docstats cogroup
+  *    path anti-joins the tombstone table distributively and treats
+  *    "no docstats row" as deleted.
+  * Space is O(deleted docs) until [[IndexOps.deleteByIds]]-style compaction
+  * or [[IndexOps.mergeSegments]] rebuilds.
   */
 object Tombstones {
 
@@ -27,38 +36,91 @@ object Tombstones {
       .map(f => s"$indexDir/tombstones/$f.parquet")
   }
 
-  /** Deleted docIds as a (small) driver set; deletes are bounded by delete
-    * volume, not corpus size.
+  /** Committed tombstone count from snapshot properties — free (no data
+    * read); pre-count snapshots fall back to a parquet count.
     */
-  def loadSet(spark: SparkSession, indexDir: String): Set[Long] = {
-    val fs = files(indexDir)
-    if (fs.isEmpty) Set.empty
-    else {
-      import spark.implicits._
-      spark.read.parquet(fs: _*).select(col("docId")).as[Long].collect().toSet
+  def count(spark: SparkSession, indexDir: String): Long = {
+    val props = new Snapshot(indexDir).readProps()
+    props.get("tombstoneCount").map(_.toLong).getOrElse {
+      val fs = files(indexDir)
+      if (fs.isEmpty) 0L else spark.read.parquet(fs: _*).count()
     }
   }
 
-  /** Anti-join `df` (must carry docId) against the visible tombstones. */
-  def exclude(spark: SparkSession, indexDir: String, df: DataFrame): DataFrame = {
+  /** Visible tombstones as a DataFrame (docId) — the distributed form. */
+  def table(spark: SparkSession, indexDir: String): Option[DataFrame] = {
     val fs = files(indexDir)
-    if (fs.isEmpty) df
-    else df.join(broadcast(spark.read.parquet(fs: _*).select("docId").distinct()),
-      Seq("docId"), "left_anti")
+    if (fs.isEmpty) None
+    else Some(spark.read.parquet(fs: _*).select(col("docId")).distinct())
   }
+
+  /** Deleted docIds as a SORTED primitive array (for broadcast + binary
+    * search). Caller must gate on [[count]] — this materializes on the
+    * driver.
+    */
+  def loadSorted(spark: SparkSession, indexDir: String): Array[Long] = {
+    import spark.implicits._
+    val fs = files(indexDir)
+    if (fs.isEmpty) Array.emptyLongArray
+    else {
+      val a = spark.read.parquet(fs: _*).select(col("docId")).distinct()
+        .as[Long].collect()
+      java.util.Arrays.sort(a)
+      a
+    }
+  }
+
+  /** Deleted docIds as a driver set — small-regime convenience for tests and
+    * merge paths; gate on [[count]].
+    */
+  def loadSet(spark: SparkSession, indexDir: String): Set[Long] =
+    loadSorted(spark, indexDir).toSet
+
+  /** Anti-join `df` (must carry docId) against the visible tombstones.
+    * Broadcasts the tombstone side only while it is small; beyond the
+    * threshold the join strategy is left to AQE (both sides shuffle on
+    * docId — unbounded).
+    */
+  def exclude(spark: SparkSession, indexDir: String, df: DataFrame,
+              broadcastMax: Long = 1L << 22): DataFrame =
+    table(spark, indexDir) match {
+      case None => df
+      case Some(ts) =>
+        val side = if (count(spark, indexDir) <= broadcastMax) broadcast(ts) else ts
+        df.join(side, Seq("docId"), "left_anti")
+    }
 
   /** Append a tombstone file with these docIds and commit a new snapshot
     * naming it. Returns the new snapshot id.
     */
   def commitDeletes(spark: SparkSession, indexDir: String, docIds: Seq[Long]): Long = {
     import spark.implicits._
+    commitDeletesDF(spark, indexDir, docIds.toDF("docId"), docIds.size.toLong)
+  }
+
+  /** Distributed commit: write the (docId) DataFrame as the next tombstone
+    * file WITHOUT driver materialization — the bulk delete-by-query /
+    * backfill-upsert shape. `knownCount` skips the count job when the caller
+    * already knows it (-1 = count here).
+    */
+  def commitDeletesDF(spark: SparkSession, indexDir: String, docIds: DataFrame,
+                      knownCount: Long = -1L): Long = {
     val snap = new Snapshot(indexDir)
     val props = snap.readProps()
     val prev = props.get("tombstones").filter(_.nonEmpty).toSeq
       .flatMap(_.split(",")).filter(_.nonEmpty)
     val name = s"ts-${snap.currentId + 1}"
-    docIds.toDF("docId").coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/tombstones/$name.parquet")
-    snap.commit(props + ("tombstones" -> (prev :+ name).mkString(",")))
+    val path = s"$indexDir/tombstones/$name.parquet"
+    val df = docIds.select(col("docId").cast("long").as("docId"))
+    // sorted + range-partitioned: parquet min/max row-group stats give the
+    // shuffle path cheap per-salt pruning; small deletes stay one file
+    val n = if (knownCount >= 0) knownCount else df.count()
+    val parts = math.max(1, math.min(200, n / 4000000L)).toInt
+    df.repartitionByRange(parts, col("docId")).sortWithinPartitions(col("docId"))
+      .write.mode("overwrite").parquet(path)
+    val newCount = props.get("tombstoneCount").map(_.toLong).getOrElse(0L) + n
+    snap.commit(props +
+      ("tombstones" -> (prev :+ name).mkString(",")) +
+      ("tombstoneCount" -> newCount.toString))
   }
 }

@@ -42,8 +42,9 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     */
   private final class Segment(val dir: String, val meta: IndexMeta, val offset: Long) {
     val dict = new DictProbe(spark, s"$dir/dictionary", DictionaryMaxDriverTerms)
-    lazy val tombstonesBc: Broadcast[Set[Long]] =
-      spark.sparkContext.broadcast(graft.index.Tombstones.loadSet(spark, dir))
+    lazy val tombstoneCount: Long = graft.index.Tombstones.count(spark, dir)
+    lazy val tombstonesBc: Broadcast[Array[Long]] =
+      spark.sparkContext.broadcast(graft.index.Tombstones.loadSorted(spark, dir))
     lazy val normsBc: Broadcast[Array[Array[Byte]]] = {
       normBuilds.incrementAndGet()
       val n = meta.nDocs.toInt
@@ -76,6 +77,16 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     * norms are never materialized driver-side; the docstats cogroup runs.
     */
   var NormsMaxDocs: Long = 1L << 31
+
+  /** Same semantics as [[Searcher.TombstonesMaxBroadcast]]: a segment with
+    * more committed deletes than this routes to the shuffle strategy, where
+    * tombstones are excluded by a distributed anti-join.
+    */
+  var TombstonesMaxBroadcast: Long = 1L << 23
+
+  private def deletedFn(ts: Array[Long]): Long => Boolean =
+    if (ts.isEmpty) _ => false
+    else d => java.util.Arrays.binarySearch(ts, d) >= 0
 
   /** Norm-table builds (tests assert one docstats read per segment). */
   private[graft] val normBuilds = new java.util.concurrent.atomic.AtomicLong(0)
@@ -145,7 +156,7 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
       val segPostings = idfMap.keysIterator.map(k2 => segDf.getOrElse(k2, 0L)).sum
       if (segPostings > 0) {
         val segHits: Iterator[Hit] =
-          if (seg.meta.nDocs > NormsMaxDocs)
+          if (seg.meta.nDocs > NormsMaxDocs || seg.tombstoneCount > TombstonesMaxBroadcast)
             searchSegmentShuffle(seg, cls, fieldArr, idfMap, avg, minMatch, k)
           else if (segPostings > DriverKernelMaxPostings)
             searchSegmentDistributed(seg, cls, fieldArr, idfMap, avg, minMatch, k)
@@ -164,10 +175,10 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     driverRunFetches.incrementAndGet()
     val runs = filteredRuns(seg, idfMap.keySet).collect()
     val lens = seg.normsBc.value
-    val ts = seg.tombstonesBc.value
+    val del = deletedFn(seg.tombstonesBc.value)
     runs.groupBy(_.salt).valuesIterator.flatMap { rs =>
       Kernel.scoreSalt(rs, (fi, d) => SmallFloat.byte4ToInt(lens(fi)(d.toInt)),
-        cls, fieldArr, idfMap, avg, minMatch, k, ts.contains)
+        cls, fieldArr, idfMap, avg, minMatch, k, del)
     }
   }
 
@@ -184,21 +195,27 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
       .groupByKey(_.salt)
       .flatMapGroups { (_, it) =>
         val lens = bc.value
+        val del =
+          if (tsBc.value.isEmpty) (_: Long) => false
+          else (d: Long) => java.util.Arrays.binarySearch(tsBc.value, d) >= 0
         Kernel.scoreSalt(it.toArray, (fi, d) => SmallFloat.byte4ToInt(lens(fi)(d.toInt)),
-          cls, fieldArr, idfMap, avg, minMatch, k, tsBc.value.contains)
+          cls, fieldArr, idfMap, avg, minMatch, k, del)
       }
       .collect().iterator
   }
 
-  /** Beyond-norms segments: cogroup runs with the segment's docstats by salt
-    * range — norms never materialize anywhere, unbounded corpus size.
+  /** Beyond-norms (or beyond-tombstone-broadcast) segments: cogroup runs
+    * with the segment's docstats by salt range — norms never materialize
+    * anywhere, and tombstones are excluded by a distributed anti-join on the
+    * docstats side ("no surviving docstats row" = deleted). Unbounded corpus
+    * AND delete volume.
     */
   private def searchSegmentShuffle(seg: Segment, cls: Array[Clause], fieldArr: Array[String],
       idfMap: Map[(String, String), Double], avg: Map[String, Double],
       minMatch: Int, k: Int): Iterator[Hit] = {
-    val tsBc = seg.tombstonesBc
-    val stats = spark.read.parquet(s"${seg.dir}/docstats")
-      .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo")
+    val stats = graft.index.Tombstones.exclude(spark, seg.dir,
+        spark.read.parquet(s"${seg.dir}/docstats")
+          .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))
       .as[(Long, Int, Int, Int, Int)]
     filteredRuns(seg, idfMap.keySet).groupByKey(_.salt)
       .cogroup(stats.groupByKey(_._2)) { case (_, runIt, statIt) =>
@@ -208,17 +225,18 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
           val arr = statIt.toArray
           val ids = new mutable.HashMap[Long, Int]()
           arr.indices.foreach(ix => ids.update(arr(ix)._1, ix))
-          def ql(fi: Int, d: Long): Int = {
-            val ix = ids(d)
-            val len = fi match {
-              case 0 => arr(ix)._3
-              case 1 => arr(ix)._4
-              case _ => arr(ix)._5
-            }
-            SmallFloat.quantizeLength(len)
+          def ql(fi: Int, d: Long): Int = ids.get(d) match {
+            case Some(ix) =>
+              val len = fi match {
+                case 0 => arr(ix)._3
+                case 1 => arr(ix)._4
+                case _ => arr(ix)._5
+              }
+              SmallFloat.quantizeLength(len)
+            case None => 1 // tombstoned: scored then discarded via `deleted`
           }
           Kernel.scoreSalt(runs, ql, cls, fieldArr, idfMap, avg, minMatch, k,
-            tsBc.value.contains)
+            d => !ids.contains(d))
         }
       }
       .collect().iterator

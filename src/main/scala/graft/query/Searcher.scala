@@ -152,11 +152,29 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
   /** df lookup for a key set (probe- or driver-cached per the threshold). */
   def dfOf(keys: Set[(String, String)]): Map[(String, String), Long] = dict.dfOf(keys)
 
-  /** Tombstoned docIds of the pinned snapshot (K4 in-place deletes) —
-    * broadcast once; kernels skip them during scoring.
+  /** Tombstone volume above which the broadcast strategies are OFF the
+    * table: the planner routes to [[searchShuffle]], where tombstones are
+    * excluded by a distributed anti-join on the docstats side and nothing is
+    * driver-materialized. Below it, tombstones broadcast as a SORTED
+    * primitive Array[Long] (8 B/id, binary-search membership) — the
+    * liveDocs-bitset regime. 1 << 23 ids = 64 MB broadcast.
     */
-  lazy val tombstonesBc: Broadcast[Set[Long]] =
-    spark.sparkContext.broadcast(graft.index.Tombstones.loadSet(spark, indexDir))
+  var TombstonesMaxBroadcast: Long = 1L << 23
+
+  private lazy val tombstoneCount: Long =
+    graft.index.Tombstones.count(spark, indexDir)
+
+  /** Tombstoned docIds of the pinned snapshot (K4 in-place deletes) —
+    * broadcast once as a sorted array; kernels binary-search-skip them
+    * during scoring. Only the small regime touches this (see
+    * [[TombstonesMaxBroadcast]]).
+    */
+  lazy val tombstonesBc: Broadcast[Array[Long]] =
+    spark.sparkContext.broadcast(graft.index.Tombstones.loadSorted(spark, indexDir))
+
+  private def deletedFn(ts: Array[Long]): Long => Boolean =
+    if (ts.isEmpty) _ => false
+    else d => java.util.Arrays.binarySearch(ts, d) >= 0
 
   /** Dense norms broadcast once per searcher. */
   lazy val normsBc: Broadcast[NormTable] = {
@@ -245,7 +263,8 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
   var NormsMaxDocs: Long = 1L << 31
 
   def search(query: String, k: Int, fields: Seq[String] = DefaultFields): Array[Hit] =
-    if (meta.nDocs <= NormsMaxDocs) searchBroadcast(query, k, fields)
+    if (meta.nDocs <= NormsMaxDocs && tombstoneCount <= TombstonesMaxBroadcast)
+      searchBroadcast(query, k, fields)
     else searchShuffle(query, k, fields)
 
   /** Cutoff (postings) below which the query runs its kernel on the driver.
@@ -266,10 +285,10 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
         if (postings <= DriverKernelMaxPostings) {
           val nt = normsBc.value // local value; no broadcast needed on driver
           val runs = fetchRuns(idfMap.keySet)
-          val ts = tombstonesBc.value
+          val del = deletedFn(tombstonesBc.value)
           val localHits = runs.groupBy(_.salt).valuesIterator.flatMap { rs =>
             Kernel.scoreSalt(rs, (fi, d) => nt.quantLen(fi, d),
-              cls, fieldArr, idfMap, avgLen, minMatch, k, ts.contains)
+              cls, fieldArr, idfMap, avgLen, minMatch, k, del)
           }.toArray
           merge(localHits, k)
         } else {
@@ -280,7 +299,7 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
             .flatMapGroups { (_, it) =>
               val nt = bc.value
               Kernel.scoreSalt(it.toArray, (fi, d) => nt.quantLen(fi, d),
-                cls, fieldArr, idfMap, avgLen, minMatch, k, tsBc.value.contains)
+                cls, fieldArr, idfMap, avgLen, minMatch, k, deletedFn(tsBc.value))
             }
             .collect()
           merge(localHits, k)
@@ -305,16 +324,23 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
     queries.map(q => searchBroadcast(q, k, fields))
   }
 
-  /** Scale strategy: cogroup runs with docstats by salt range (no broadcast). */
+  /** Scale strategy: cogroup runs with docstats by salt range (no broadcast).
+    * Tombstones here are FULLY DISTRIBUTED: the docstats side is anti-joined
+    * against the tombstone table before the cogroup (both keyed by docId —
+    * AQE picks broadcast vs shuffle), so a posting with no surviving
+    * docstats row is a deleted doc and is skipped in the kernel. Nothing
+    * about deletes ever reaches the driver — the mass delete-by-query
+    * regime.
+    */
   def searchShuffle(query: String, k: Int, fields: Seq[String] = DefaultFields): Array[Hit] = {
     plan(query, fields) match {
       case None => Array.empty
       case Some((cls, idfMap, minMatch, _)) =>
         val avgLen = meta.avgLen
         val fieldArr = DefaultFields.toArray
-        val tsBc = tombstonesBc
-        val stats = spark.read.parquet(s"$indexDir/docstats")
-          .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo")
+        val stats = graft.index.Tombstones.exclude(spark, indexDir,
+            spark.read.parquet(s"$indexDir/docstats")
+              .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))
           .as[(Long, Int, Int, Int, Int)]
         val localHits = filteredRuns(idfMap.keySet).groupByKey(_.salt)
           .cogroup(stats.groupByKey(_._2)) { case (_, runIt, statIt) =>
@@ -324,17 +350,18 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
               val arr = statIt.toArray
               val ids = new mutable.HashMap[Long, Int]() // docId -> idx
               arr.indices.foreach(ix => ids.update(arr(ix)._1, ix))
-              def ql(fi: Int, d: Long): Int = {
-                val ix = ids(d)
-                val len = fi match {
-                  case 0 => arr(ix)._3
-                  case 1 => arr(ix)._4
-                  case _ => arr(ix)._5
-                }
-                SmallFloat.quantizeLength(len)
+              def ql(fi: Int, d: Long): Int = ids.get(d) match {
+                case Some(ix) =>
+                  val len = fi match {
+                    case 0 => arr(ix)._3
+                    case 1 => arr(ix)._4
+                    case _ => arr(ix)._5
+                  }
+                  SmallFloat.quantizeLength(len)
+                case None => 1 // tombstoned doc: scored then discarded below
               }
               Kernel.scoreSalt(runs, ql, cls, fieldArr, idfMap, avgLen,
-                minMatch, k, tsBc.value.contains)
+                minMatch, k, d => !ids.contains(d))
             }
           }
           .collect()

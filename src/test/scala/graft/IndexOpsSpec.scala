@@ -108,6 +108,43 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(searcher0.search("buffer", 10).toSeq == before.toSeq)
   }
 
+  test("mass delete-by-query: distributed tombstones, shuffle route identical, no driver set") {
+    meta
+    val dir = java.nio.file.Files.createTempDirectory("graftmass").toString
+    IndexBuilder.build(spark, docs, dir, cfg)
+    val before = new graft.query.Searcher(spark, dir).search("buffer", 10)
+    // bulk delete: every doc of one repo, resolved + committed WITHOUT any
+    // .collect() (deleteByQueryInPlace writes the tombstone file straight
+    // from the matching-docs DataFrame)
+    val repo = spark.read.parquet(s"$dir/docstats").select("repo").as[String].head()
+    val nRepo = spark.read.parquet(s"$dir/docstats")
+      .filter(org.apache.spark.sql.functions.col("repo") === repo).count()
+    assert(nRepo > 0)
+    IndexOps.deleteByQueryInPlace(spark, dir, s"repo:$repo")
+    assert(graft.index.Tombstones.count(spark, dir) == nRepo,
+      "snapshot carries the committed tombstone count")
+
+    // small-regime searcher (broadcast sorted-array tombstones)
+    val sBc = new graft.query.Searcher(spark, dir)
+    val bcHits = sBc.search("buffer", 10)
+    // forced mass-delete regime: TombstonesMaxBroadcast=0 routes search()
+    // to the shuffle strategy, where exclusion is a distributed anti-join
+    val sSh = new graft.query.Searcher(spark, dir)
+    sSh.TombstonesMaxBroadcast = 0
+    val shHits = sSh.search("buffer", 10)
+    assert(bcHits.toSeq == shHits.toSeq, "both delete regimes rank-identical")
+    val deletedIds = spark.read.parquet(s"$dir/docstats")
+      .filter(org.apache.spark.sql.functions.col("repo") === repo)
+      .select("docId").as[Long].collect().toSet
+    assert(shHits.forall(h => !deletedIds.contains(h.docId)))
+    assert(bcHits.nonEmpty && bcHits.length == before.length, "top-k backfills")
+    // realtime-get respects the committed deletes (ADVICE r2)
+    val victim = spark.read.parquet(s"$dir/docstats")
+      .filter(org.apache.spark.sql.functions.col("repo") === repo)
+      .select("repo", "path", "commit").as[(String, String, String)].head()
+    assert(IndexOps.realtimeGet(spark, dir, Seq(victim)).count() == 0)
+  }
+
   test("upsert via delta segment + tombstones: new version visible, old gone") {
     meta
     val baseDir = java.nio.file.Files.createTempDirectory("graftup").toString
