@@ -29,6 +29,20 @@ object Analyzer extends Serializable {
   @transient private lazy val nfkcCf: Normalizer2 = Normalizer2.getNFKCCasefoldInstance
   @transient private lazy val nfd: Normalizer2 = Normalizer2.getNFDInstance
 
+  /** UTR#30 diacritic folds for NON-decomposable letters, generated from the
+    * UCD by [[GenDiacriticFolds]] (committed resource; cp hex -> base char).
+    */
+  @transient private lazy val diacriticFolds: Map[Int, Char] = {
+    val in = getClass.getResourceAsStream("/graft/analysis/diacritic_folds.tsv")
+    require(in != null, "diacritic_folds.tsv missing from resources")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { line =>
+        val parts = line.split("\t")
+        Integer.parseInt(parts(0), 16) -> parts(1).charAt(0)
+      }.toMap
+    finally in.close()
+  }
+
   // BreakIterator is mutable/stateful — one per thread.
   @transient private lazy val wordBreak: ThreadLocal[BreakIterator] =
     ThreadLocal.withInitial(() => BreakIterator.getWordInstance(ULocale.ROOT))
@@ -97,21 +111,17 @@ object Analyzer extends Serializable {
       if (cat != Character.NON_SPACING_MARK.toInt &&
           cat != Character.COMBINING_SPACING_MARK.toInt &&
           cat != Character.ENCLOSING_MARK.toInt) {
-        // UTR#30 diacritic folding also covers NON-decomposable stroked /
-        // crossed Latin letters; icu4j ships no utr30.nrm (that data lives in
-        // lucene-analysis-icu, absent offline), so the common classes are
-        // folded explicitly here. Input is already casefolded, so lowercase
-        // forms suffice. Rare fold-table entries beyond these may still
-        // diverge from Lucene's ICUFoldingFilter — documented approximation.
-        cp match {
-          case 'ø' => sb.append('o')
-          case 'đ' => sb.append('d')
-          case 'ð' => sb.append('d')
-          case 'ħ' => sb.append('h')
-          case 'ł' => sb.append('l')
-          case 'ŧ' => sb.append('t')
-          case _ => sb.appendCodePoint(cp)
-        }
+        // UTR#30 diacritic folding also covers NON-decomposable modified
+        // Latin letters (stroke, bar, hook, tail, ...). icu4j ships no
+        // utr30.nrm (that binary lives in lucene-analysis-icu, absent
+        // offline), so the table is GENERATED from the UCD itself into a
+        // committed resource — see [[GenDiacriticFolds]] (208 entries).
+        // Native Digit Folding (also UTR#30) is the closed rule below.
+        val folded = diacriticFolds.get(cp)
+        if (folded.isDefined) sb.append(folded.get)
+        else if (cat == Character.DECIMAL_DIGIT_NUMBER.toInt && cp > '9')
+          sb.append(('0' + UCharacter.digit(cp, 10)).toChar)
+        else sb.appendCodePoint(cp)
       }
       j += Character.charCount(cp)
     }

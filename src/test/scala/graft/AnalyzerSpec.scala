@@ -63,12 +63,33 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(Analyzer.alphaNumericSortKey("ABC-9876543") == "abc9876543")
     assert(Analyzer.alphaNumericSortKey("x 000042 y") == "x000042y")
   }
-  test("stroked-Latin fold classes (UTR#30 diacritic folding approximation)") {
+  test("stroked-Latin fold classes (UTR#30 diacritic folding, generated table)") {
     assert(Analyzer.fold("S\u00f8ren") == "soren")       // o-slash
     assert(Analyzer.fold("\u0110or\u0111e") == "dorde") // d-stroke both cases
     assert(Analyzer.fold("ver\u00f0") == "verd")         // eth
     assert(Analyzer.fold("\u0127ajja") == "hajja")       // h-stroke
     assert(Analyzer.fold("\u0141\u00f3d\u017a") == "lodz") // l-stroke + acute
+  }
+  test("UTR#30 torture: hooks, bars, tails, IPA letters (generated table)") {
+    assert(Analyzer.fold("\u0253a\u0180a") == "baba")    // b-hook, b-stroke
+    assert(Analyzer.fold("\u0257o\u018c") == "dod")      // d-hook, d-topbar
+    assert(Analyzer.fold("\u0199a\u0198") == "kak")      // k-hook both cases
+    assert(Analyzer.fold("\u0268\u019a\u0167") == "ilt") // i-stroke, l-bar, t-stroke
+    assert(Analyzer.fold("\u01b3\u01b4") == "yy")        // y-hook both cases
+    assert(Analyzer.fold("\u0256") == "d")               // d with (retroflex) tail
+    assert(Analyzer.fold("\u2c66") == "t")               // Latin Ext-C t with diagonal stroke
+    assert(Analyzer.fold("\ua741") == "k")               // Latin Ext-D k with stroke
+  }
+  test("UTR#30 native digit folding: non-ASCII decimal digits -> ASCII") {
+    assert(Analyzer.fold("\u0663") == "3")          // Arabic-Indic three
+    assert(Analyzer.fold("\u09ea") == "4")          // Bengali four
+    assert(Analyzer.fold("\u0be7\u0be8") == "12")   // Tamil one two
+    assert(Analyzer.fold("42") == "42")             // ASCII untouched
+  }
+  test("compatibility foldings via NFKC_CF: circled, superscript, roman numeral") {
+    assert(Analyzer.fold("\u2460") == "1")    // circled one
+    assert(Analyzer.fold("x\u00b2") == "x2")  // superscript two
+    assert(Analyzer.fold("\u2163") == "iv")   // roman numeral four
   }
   test("keyword chain folds whole value") {
     assert(Analyzer.analyzeKeyword("  Les Misérables  ").toSeq == Seq("les miserables"))
