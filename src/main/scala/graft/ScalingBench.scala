@@ -19,9 +19,11 @@ package graft
   *
   * Writes BENCH/SCALING_LAST.md (BENCH/BASELINE.md is curated by hand).
   *
-  * Usage: runMain graft.ScalingBench [nDocs] [N] [cluster|threads|single]
-  * (defaults 400000, 4, cluster). `single` = one in-process leg at exactly
-  * N cores — the unit the cluster mode spawns as child processes.
+  * Usage: runMain graft.ScalingBench [nDocs] [N] [cluster|threads|single] [execMemMB]
+  * (defaults 400000, 4, cluster, 4096). `single` = one in-process leg at
+  * exactly N cores — the unit the cluster mode spawns as child processes.
+  * Scale execMemMB with nDocs (the 4-core leg holds the whole fused-pass
+  * cache partition set in one executor).
   */
 object ScalingBench {
   private val coresPerWorker = 4
@@ -30,11 +32,13 @@ object ScalingBench {
     val nDocs = if (args.length > 0) args(0).toLong else 400000L
     val n = if (args.length > 1) args(1).toInt else 4
     val mode = if (args.length > 2) args(2) else "cluster"
+    val execMemMB = if (args.length > 3) args(3).toInt else 4096
 
     def runInProcess(cores: Int, threads: Boolean): Map[String, Double] = {
       val spark =
         if (threads) Bench.newSession(cores.toString)
-        else Bench.newClusterSession(math.max(1, cores / coresPerWorker), math.min(cores, coresPerWorker))
+        else Bench.newClusterSession(math.max(1, cores / coresPerWorker),
+          math.min(cores, coresPerWorker), execMemMB)
       // JIT/classloading warm-up: a small throwaway build, NOT measured —
       // without it the first measured run absorbs all compilation cost and
       // the N->4N ratio comes out dishonestly super-linear.
@@ -60,7 +64,8 @@ object ScalingBench {
         s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
         "-Dspark.ui.enabled=false",
         "-cp", sys.props("java.class.path"),
-        "graft.ScalingBench", nDocs.toString, cores.toString, childMode)
+        "graft.ScalingBench", nDocs.toString, cores.toString, childMode,
+        execMemMB.toString)
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val p = pb.start()

@@ -69,10 +69,14 @@ object IndexBuilder {
   /** Deterministic dense docIds = global rank in (sha, repo, path, commit)
     * order — the "sha256(content)-stable ordinal" (FIXTURES.md §1). Scalable
     * shape: range partition + per-partition ranks + broadcast offsets; no
-    * single-partition global sort. Caller must keep the returned DF's lineage
-    * stable (we persist internally; call `unpersistDocIds` when done).
+    * single-partition global sort. The sorted shuffle output is persisted
+    * DISK_ONLY (serialized rows on node-local disk — the manual analog of
+    * keeping the shuffle files) so the offset-count job and the fused
+    * tokenize pass share ONE exchange+sort without paying the columnar
+    * in-memory cache's decompress-recompress CPU (round 2 used the default
+    * MEMORY_AND_DISK here; the cache build of full content cost more than
+    * it saved, and could never fit at the 100 TB target).
     */
-  /** caches created by withDocIds, released at the end of build() */
   private val pendingCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   def withDocIds(spark: SparkSession, docs: Dataset[CodeDoc], partitions: Int): DataFrame = {
@@ -83,7 +87,7 @@ object IndexBuilder {
       .select("sha", "repo", "path", "commit", "lang", "content")
       .repartitionByRange(partitions, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     pendingCaches.add(parted)
     val counts = parted.groupBy(spark_partition_id().as("pid")).count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

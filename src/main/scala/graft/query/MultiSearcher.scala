@@ -222,6 +222,8 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
         val runs = runIt.toArray
         if (runs.isEmpty) Iterator.empty
         else {
+          // memory bound: one salt range of docstats (<= saltRange rows,
+          // ~30 MB at the 2^20 default) per task, corpus-size independent
           val arr = statIt.toArray
           val ids = new mutable.HashMap[Long, Int]()
           arr.indices.foreach(ix => ids.update(arr(ix)._1, ix))

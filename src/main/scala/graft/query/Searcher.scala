@@ -347,6 +347,9 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
             val runs = runIt.toArray
             if (runs.isEmpty) Iterator.empty
             else {
+              // memory bound: one salt range of docstats rows — at most
+              // cfg.saltRange (default 2^20) * ~30 B ≈ 30 MB per task,
+              // independent of corpus size (tune saltRange to executor RAM)
               val arr = statIt.toArray
               val ids = new mutable.HashMap[Long, Int]() // docId -> idx
               arr.indices.foreach(ix => ids.update(arr(ix)._1, ix))
