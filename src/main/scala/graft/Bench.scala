@@ -150,7 +150,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = newSession(cpus)
 
-    val relational = (RelationalQueries.queries ++ UrsusRecordQueries.queries)
+    val relational = (RelationalQueries.queries ++ UrsusRecordQueries.queries ++
+      SinaiQueries.queries)
       .toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = try time(fn(spark, sfDir).count())._2 catch { case _: Throwable => -1.0 }
       name -> t
