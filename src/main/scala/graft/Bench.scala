@@ -50,6 +50,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", (totalCores * 2).toString)
       .config("spark.sql.inMemoryColumnarStorage.compressed",
         sys.env.getOrElse("SPARK_GRAFT_CACHE_COMPRESS", "true"))
+      // on this box every shuffle/cache byte is a tmpfs memcpy from ONE
+      // socket's bandwidth pool — a denser codec trades plentiful CPU for
+      // the scarce resource (default lz4; zstd measured via this knob)
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
