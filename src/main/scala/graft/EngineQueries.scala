@@ -202,6 +202,41 @@ object EngineQueries {
       joined.unpersist()
       rows.toDF("query", "engine_top1", "oracle_top1", "rank_identical")
         .orderBy(col("query"))
+    }),
+
+    // Q8/ST + K4 at scale: base + delta segments searched by MultiSearcher
+    // with a mass delete-by-query on the base, across BOTH tombstone regimes
+    // (broadcast sorted-array vs forced distributed anti-join) — row per
+    // query asserting the two regimes stay rank-identical
+    "ix_multisegment_delete" -> ((s, dir) => {
+      import s.implicits._
+      val base = SparkEntry.indexFor(s, dir)
+      // fresh copy so the shared per-JVM index keeps its snapshot clean
+      val work = s"/tmp/graft_msd_${Integer.toHexString(dir.hashCode)}"
+      val wdir = new java.io.File(work)
+      if (wdir.exists()) { import scala.reflect.io.Directory; new Directory(wdir).deleteRecursively() }
+      org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(base), wdir)
+      // delta segment: re-index the first 50 docs with a marker suffix
+      val delta = s"$work-delta"
+      val incoming = SparkEntry.documentsAsCode(s, dir)
+        .filter(col("path").rlike("doc_[0-4]?[0-9]\\.txt$"))
+        .withColumn("content", concat(col("content"), lit(" graftmarker")))
+        .as[graft.core.CodeDoc]
+      graft.index.IndexOps.upsertDelta(s, work, incoming, delta,
+        graft.index.IndexConfig(buckets = 32, saltRange = 1L << 14,
+          shufflePartitions = s.sparkContext.defaultParallelism))
+      // mass delete on the base: drop one whole source
+      graft.index.IndexOps.deleteByQueryInPlace(s, work, "repo:src9")
+      val queries = Seq("data table merge", "graftmarker", "filter join sort")
+      val bc = new graft.query.MultiSearcher(s, Seq(work, delta))
+      val sh = new graft.query.MultiSearcher(s, Seq(work, delta))
+      sh.TombstonesMaxBroadcast = 0 // force the distributed-anti-join regime
+      val rows = queries.map { q =>
+        val a = bc.search(q, 10).toSeq
+        val b = sh.search(q, 10).toSeq
+        (q, a.length, a.headOption.map(_.docId).getOrElse(-1L), a == b)
+      }
+      rows.toDF("query", "hits", "top1", "regimes_identical").orderBy(col("query"))
     })
   )
 }

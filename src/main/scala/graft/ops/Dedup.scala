@@ -166,6 +166,10 @@ object Dedup {
     */
   def minhashStarEdges(df: DataFrame, idCol: String, textCol: String,
                        shingleK: Int = 3, bands: Int = 8): DataFrame = {
+    // persist the banding (shingle + minhash is the expensive part, consumed
+    // by BOTH the bucket-rep aggregate and the join-back side); the returned
+    // edge list is materialized (small — near-dup edges only) so the banding
+    // is released here, as in simhashPairs
     val banded = df
       .withColumn("_sh", array_distinct(
         shingles(split(lower(trim(col(textCol))), "\\s+"), shingleK)))
@@ -173,12 +177,17 @@ object Dedup {
       .withColumn("_b", minhashBands(col("_sh"), bands))
       .select(col(idCol).as("_id"), explode(col("_b")).as("bs"))
       .select(col("_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = banded.groupBy(col("band"), col("sig"))
       .agg(min(col("_id")).as("a"), count(lit(1)).as("_n"))
       .filter(col("_n") > 1).drop("_n")
-    banded.join(reps, Seq("band", "sig"))
+    val edges = banded.join(reps, Seq("band", "sig"))
       .filter(col("_id") =!= col("a"))
       .select(col("a"), col("_id").as("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    banded.unpersist()
+    edges
   }
 
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
