@@ -134,6 +134,21 @@ object EngineQueries {
         .withColumn("cos", round(col("cos"), 4))
     }),
 
+    // the IVF scale path next to sign-LSH: k-means inverted lists, pushed
+    // centroid probe + exact rescore (OpsSpec gates recall / exactness)
+    "q_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").as[Array[Float]].head()
+      val out = s"/tmp/graft_ivf_${Integer.toHexString(dir.hashCode)}"
+      if (!new java.io.File(s"$out/IVF_PROPS").exists())
+        graft.ops.IvfIndex.build(s, emb.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", out, nCentroids = 16, iters = 4)
+      graft.ops.IvfIndex.topK(s, out, query, k = 10, nprobe = 4)
+        .withColumn("cos", round(col("cos"), 4))
+    }),
+
     // embedding-cosine near-dup, SCALE path: candidates restricted to
     // sign-LSH signature buckets (equi-join, no quadratic blowup), exact
     // cosine filter inside buckets (rows-only; exactness baseline is the

@@ -232,6 +232,38 @@ class OpsSpec extends AnyFunSuite {
       "distinct docs survive")
   }
 
+  test("IVF ANN: recall vs brute force, exact at nprobe=k, dim guard, probe pruning") {
+    val emb = spark.read.parquet(embPath)
+    val query = emb.filter($"vec_id" === 0).select($"embedding")
+      .as[Seq[Float]].head().toArray
+    val corpus = emb.filter($"vec_id" =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    graft.ops.IvfIndex.build(spark, corpus, "vec_id", "embedding", dir,
+      nCentroids = 16, iters = 4, partitions = 4)
+
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", query, 10)
+      .select("id").as[Long].collect().toSet
+    val got = graft.ops.IvfIndex.topK(spark, dir, query, 10, nprobe = 4)
+      .select("id").as[Long].collect().toSet
+    val recall = brute.intersect(got).size / 10.0
+    assert(recall >= 0.6, s"IVF recall@10 with nprobe=4/16: $recall")
+
+    // nprobe = k probes every list -> exact
+    val all = graft.ops.IvfIndex.topK(spark, dir, query, 10, nprobe = 16)
+      .select("id").as[Long].collect().toSet
+    assert(all == brute, "nprobe=k must equal brute force")
+
+    // the probe actually prunes: candidate rows < corpus rows
+    val probed = spark.read.parquet(s"$dir/lists")
+      .filter($"cid".isin(0, 1, 2, 3)).count()
+    assert(probed < corpus.count(), "inverted lists must partition the corpus")
+
+    // wrong-dimension query fails loudly
+    intercept[IllegalArgumentException] {
+      graft.ops.IvfIndex.topK(spark, dir, query.take(8), 5)
+    }
+  }
+
   test("minhash bands: identical shingle sets share every band signature") {
     val df = Seq(
       (1L, Seq("a b c", "b c d", "c d e")),
