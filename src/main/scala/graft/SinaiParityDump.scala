@@ -46,6 +46,13 @@ object SinaiParityDump {
             "ms_obj")
           (s"ark:/21198/z$i", mapper.writeValueAsString(shaped))
         }
+      case "rich" => // guest layers, paras, places, excerpts, bib, iiif, ...
+        val n = args(1).toInt
+        (1 to n).map { i =>
+          val shaped = graft.docprep.SinaiSchema.dumpShape(
+            mapper.readTree(SinaiRichGen.msJson(i.toLong)), "ms_obj")
+          (s"ark:/21198/zr$i", mapper.writeValueAsString(shaped))
+        }
       case other => sys.error(s"unknown mode $other")
     }
 
