@@ -19,6 +19,44 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // §3.3 fix_for_reindex repair catalog (reindex.py:50-137): computed-field
+    // relocation with URI->label translation, collation ssi->tesim move,
+    // local-identifier variant merge — run through Reindex.repair and
+    // recomputed arithmetically by the DuckDB oracle
+    "q_reindex_repair" -> ((s, dir) => {
+      val pk = col("p_partkey")
+      def arr(v: String*) = array(v.map(lit): _*)
+      val src = t(s, dir, "part").filter(pk <= 500).select(
+        pk.as("ark"),
+        when(pk % 3 =!= 0, arr("kept value")).otherwise(lit(null).cast("array<string>"))
+          .as("human_readable_rights_statement_tesim"),
+        array(element_at(arr(
+          "http://vocabs.library.ucla.edu/rights/copyrighted",
+          "http://vocabs.library.ucla.edu/rights/unknown",
+          "https://unknown.example/x",
+          "http://vocabs.library.ucla.edu/rights/publicDomain"), (pk % 4 + 1).cast("int")))
+          .as("rights_statement_tesim"),
+        lit("solr-junk").as("_version_"),
+        when(pk % 2 === 0, concat(lit("c"), (pk % 5).cast("string"))).as("collation_ssi"),
+        when(pk % 4 === 0, arr("have")).otherwise(lit(null).cast("array<string>"))
+          .as("collation_tesim"),
+        when(pk % 2 === 0, arr("a", "b")).otherwise(lit(null).cast("array<string>"))
+          .as("local_identifier_ssim"),
+        when(pk % 3 === 0, arr("b", "c")).otherwise(lit(null).cast("array<string>"))
+          .as("local_identifier_ssm"),
+        when(pk % 5 === 0, arr("a")).otherwise(lit(null).cast("array<string>"))
+          .as("local_identifier_sim"))
+      graft.docprep.Reindex.repair(src).select(
+        col("ark"),
+        array_join(col("human_readable_rights_statement_tesim"), "|").as("rights_hr"),
+        coalesce(col("collation_ssi"), lit("")).as("coll_ssi"),
+        array_join(coalesce(col("collation_tesim"), array().cast("array<string>")), "|")
+          .as("coll_tesim"),
+        array_join(coalesce(col("local_identifier_ssim"), array().cast("array<string>")), "|")
+          .as("local_ids"))
+        .orderBy(col("ark"))
+    }),
+
     // A1/A2 facet + hit counts (importer.py:502-517, solrconfig.xml:129-130)
     "q_facet_count" -> ((s, dir) => {
       t(s, dir, "events").groupBy(col("event_type"))
@@ -536,6 +574,28 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_reindex_repair" ->
+      """SELECT p_partkey AS ark,
+        |  CASE WHEN p_partkey % 3 <> 0 THEN 'kept value'
+        |    ELSE CASE p_partkey % 4
+        |      WHEN 0 THEN 'copyrighted' WHEN 1 THEN 'unknown'
+        |      WHEN 2 THEN 'https://unknown.example/x' ELSE 'public domain' END
+        |  END AS rights_hr,
+        |  CASE WHEN p_partkey % 4 = 0 THEN 'c' || (p_partkey % 5)::varchar
+        |    ELSE '' END AS coll_ssi,
+        |  CASE WHEN p_partkey % 4 = 0 THEN 'have'
+        |    WHEN p_partkey % 2 = 0 THEN 'c' || (p_partkey % 5)::varchar
+        |    ELSE '' END AS coll_tesim,
+        |  CASE
+        |    WHEN p_partkey % 2 = 0 AND p_partkey % 3 = 0 AND p_partkey % 5 = 0 THEN 'a|b|c'
+        |    WHEN p_partkey % 2 = 0 AND p_partkey % 3 = 0 THEN 'a|b|c'
+        |    WHEN p_partkey % 2 = 0 THEN 'a|b'
+        |    WHEN p_partkey % 3 = 0 AND p_partkey % 5 = 0 THEN 'b|c|a'
+        |    WHEN p_partkey % 3 = 0 THEN 'b|c'
+        |    WHEN p_partkey % 5 = 0 THEN 'a'
+        |    ELSE '' END AS local_ids
+        |FROM part WHERE p_partkey <= 500 ORDER BY ark""".stripMargin,
+
     "q_facet_count" ->
       """SELECT event_type, count(*) AS cnt FROM events
         |GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin,

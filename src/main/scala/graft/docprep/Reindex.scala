@@ -236,13 +236,15 @@ object Reindex {
         val hasTesim = out.columns.contains(tesim)
         val tesimEmpty =
           if (hasTesim) col(tesim).isNull else lit(true)
-        val moved = tesimEmpty && col(ssi).isNotNull
-        out = out
+        // materialize the move decision BEFORE mutating tesim — a second
+        // withColumn referencing col(tesim) would see the updated column
+        out = out.withColumn("_moved", tesimEmpty && col(ssi).isNotNull)
           .withColumn(tesim,
-            when(moved, array(col(ssi)))
+            when(col("_moved"), array(col(ssi)))
               .otherwise(if (hasTesim) col(tesim)
                          else lit(null).cast("array<string>")))
-          .withColumn(ssi, when(moved, lit(null)).otherwise(col(ssi)))
+          .withColumn(ssi, when(col("_moved"), lit(null)).otherwise(col(ssi)))
+          .drop("_moved")
       }
     }
 
