@@ -327,9 +327,13 @@ object SinaiEntityMerge {
     val agents = entityTable(spark, root, "agents").as[(String, String)]
     val places = entityTable(spark, root, "places").as[(String, String)]
 
-    // round 1: layers of each manuscript
+    // round 1: layers of each manuscript. Join strategy is left to AQE: the
+    // entity tables are dims relative to manuscripts and usually broadcast,
+    // but none of them is GUARANTEED small at corpus scale, so no forced
+    // broadcast hint (a forced hint would OOM the driver on a huge layer
+    // table; AQE picks shuffle join exactly then).
     def gather(refs: DataFrame, dim: Dataset[(String, String)]): DataFrame =
-      refs.join(broadcast(dim.toDF("ref_ark", "ref_json")), Seq("ref_ark"))
+      refs.join(dim.toDF("ref_ark", "ref_json"), Seq("ref_ark"))
         .groupBy(col("ms_ark"))
         .agg(collect_list(struct(col("ref_ark"), col("ref_json"))).as("entries"))
 
@@ -377,7 +381,7 @@ object SinaiEntityMerge {
     val siblingRefs = nodeJsons.flatMap { case (a, j) => msRefArksOf(j).map(r => (a, r)) }
       .toDF("ms_ark", "ref_ark").distinct()
     val msSiblings = siblingRefs
-      .join(broadcast(msLookupDim), Seq("ref_ark"))
+      .join(msLookupDim, Seq("ref_ark")) // ms lookup is corpus-sized: no broadcast hint
       .groupBy(col("ms_ark"))
       .agg(collect_list(struct(col("ref_ark"), col("ref_shelfmark"), col("ref_type"))).as("sibs"))
 
