@@ -37,7 +37,10 @@ object Tombstones {
   }
 
   /** Committed tombstone count from snapshot properties — free (no data
-    * read); pre-count snapshots fall back to a parquet count.
+    * read); pre-count snapshots fall back to a parquet count. The property
+    * is cumulative across commits, so re-deleting an already-deleted docId
+    * can overstate it: it is a strategy-routing UPPER BOUND only (readers
+    * always dedupe the actual ids).
     */
   def count(spark: SparkSession, indexDir: String): Long = {
     val props = new Snapshot(indexDir).readProps()
