@@ -226,11 +226,16 @@ object SinaiSchema {
 
   private def normScalar(cls: String, f: String, v: JsonNode): JsonNode =
     if (v.isTextual && datetimeFields((cls, f))) {
-      val odt = java.time.OffsetDateTime.parse(v.asText())
-      com.fasterxml.jackson.databind.node.TextNode.valueOf(
-        odt.toInstant.atOffset(java.time.ZoneOffset.UTC)
+      // offset-carrying timestamps re-serialize as UTC `Z` (pydantic's
+      // form); timezone-naive ones pass through verbatim (pydantic keeps
+      // naive datetimes naive)
+      val norm = scala.util.Try {
+        java.time.OffsetDateTime.parse(v.asText())
+          .toInstant.atOffset(java.time.ZoneOffset.UTC)
           .format(java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME)
-          .replace("+00:00", "Z"))
+          .replace("+00:00", "Z")
+      }.getOrElse(v.asText())
+      com.fasterxml.jackson.databind.node.TextNode.valueOf(norm)
     } else if (v.isTextual && urlFields((cls, f)))
       com.fasterxml.jackson.databind.node.TextNode.valueOf(v.asText().trim)
     else v.deepCopy[JsonNode]()

@@ -265,18 +265,23 @@ object SinaiSolr {
       ).toSeq
 
     val cataloguers = deepGet(ms, Set("cataloguer"), (_, v) => v.isObject).toSeq
-    // pydantic serializes UTC datetimes with a trailing Z at second (or
-    // sub-second) precision — max over parsed instants, re-emitted that way
+    // max(timestamps) by instant (naive values ordered as UTC), serialized
+    // the way pydantic stores them: offset-carrying -> UTC with trailing Z,
+    // timezone-naive -> verbatim
     val lastModified: Option[String] = {
+      def instantOf(s: String): java.time.Instant =
+        scala.util.Try(java.time.OffsetDateTime.parse(s).toInstant).getOrElse(
+          java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC))
       val ts = cataloguers.flatMap(c => txt(c, "timestamp"))
-        .map(java.time.OffsetDateTime.parse)
       if (ts.isEmpty) None
       else {
-        val m = ts.max((a: java.time.OffsetDateTime, b: java.time.OffsetDateTime) =>
-          a.toInstant.compareTo(b.toInstant))
-        val utc = m.toInstant.atOffset(java.time.ZoneOffset.UTC)
-        Some(utc.format(java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME)
-          .replace("+00:00", "Z"))
+        val raw = ts.maxBy(instantOf)
+        Some(scala.util.Try {
+          java.time.OffsetDateTime.parse(raw)
+            .toInstant.atOffset(java.time.ZoneOffset.UTC)
+            .format(java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME)
+            .replace("+00:00", "Z")
+        }.getOrElse(raw))
       }
     }
 
