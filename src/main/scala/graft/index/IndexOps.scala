@@ -252,6 +252,34 @@ object IndexOps {
     meta
   }
 
+  /** Auto-compaction policy — the TieredMergePolicy analog Solr inherits
+    * from Lucene (solrconfig.xml merge defaults): decide WHEN to compact
+    * from snapshot properties alone (no data read — `tombstoneCount` rides
+    * the commit, [[Tombstones.count]]), then fold the base plus its delta
+    * segments into one fresh segment via [[mergeSegments]].
+    *
+    * Triggers when the base's committed tombstone upper bound exceeds
+    * `maxTombstoneRatio` of its docs, or when more than `maxDeltas` delta
+    * segments have accreted (a long-running upsert/delete workload no longer
+    * needs a human to call merge). Returns Some(mergedMeta) when compaction
+    * ran — the merged segment lives at `outDir`, callers swap readers to it
+    * (commit-gated: readers of the old dirs are untouched) — or None when
+    * the policy says leave it alone. `tombstoneCount` is a cumulative upper
+    * bound (re-deletes overstate it), so the worst case is compacting
+    * EARLY — never missing a needed compaction.
+    */
+  def maintain(spark: SparkSession, baseDir: String, deltaDirs: Seq[String],
+               outDir: String, cfg: IndexConfig = IndexConfig(),
+               maxTombstoneRatio: Double = 0.2, maxDeltas: Int = 4): Option[IndexMeta] = {
+    val props = new Snapshot(baseDir).readProps()
+    val nDocs = props.get("nDocs").map(_.toLong).getOrElse(0L)
+    val tombs = props.get("tombstoneCount").map(_.toLong).getOrElse(0L)
+    val needed = (nDocs > 0 && tombs.toDouble / nDocs > maxTombstoneRatio) ||
+      deltaDirs.size > maxDeltas
+    if (!needed) None
+    else Some(mergeSegments(spark, baseDir +: deltaDirs, outDir, cfg))
+  }
+
   /** K5 JSONL dump: page the document set to `maxRecordsPerFile`-bounded
     * JSON files (the reference dumps 1000 docs/file, importer.py:340-360).
     */

@@ -250,28 +250,42 @@ object Dedup {
       .persist()
     var iter = 0
     var converged = false
+    // intermediates of the PREVIOUS round, released only after this round's
+    // count job has materialized everything that depends on them
+    var prevToRelease: Seq[DataFrame] = Nil
     while (!converged && iter < maxIter) {
       val msgs = sym.join(labels.withColumnRenamed("node", "b"), "b")
         .select(col("a").as("node"), col("label"))
       val prop = labels.union(msgs)
         .groupBy("node").agg(min("label").as("label"))
         .persist()
-      // pointer jumping: label <- label(label). Halves remaining path length
-      // each round, so convergence is O(log diameter) instead of O(diameter)
-      val next = prop.as("x")
-        .join(prop.as("y"), col("x.label") === col("y.node"), "left")
-        .select(col("x.node").as("node"),
-          coalesce(col("y.label"), col("x.label")).as("label"))
-        .persist()
-      val changed = next
+      // ONE count job per round: did propagation decrease any label? At the
+      // propagation fixpoint every label already IS the component min, so
+      // pointer jumping would be the identity — skip its join entirely on
+      // the final round (it was ~1 extra join per run for nothing).
+      val changed = prop
         .join(labels.withColumnRenamed("label", "prev"), "node")
         .filter(col("label") < col("prev")).count()
-      prop.unpersist()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      prevToRelease.foreach(_.unpersist()); prevToRelease = Nil
+      if (changed == 0) {
+        prop.unpersist()
+        converged = true
+      } else {
+        // pointer jumping: label <- label(label). Halves remaining path
+        // length each round, so convergence is O(log diameter) instead of
+        // O(diameter). Materialized lazily by the NEXT round's count job —
+        // prop and the old labels stay cached until then.
+        val next = prop.as("x")
+          .join(prop.as("y"), col("x.label") === col("y.node"), "left")
+          .select(col("x.node").as("node"),
+            coalesce(col("y.label"), col("x.label")).as("label"))
+          .persist()
+        prevToRelease = Seq(prop, labels)
+        labels = next
+      }
       iter += 1
     }
+    prevToRelease.foreach(_.unpersist())
     sym.unpersist(); p.unpersist()
     // never hand back silently-split clusters: with pointer jumping 20
     // rounds covers diameters up to ~2^20, so hitting this means the input

@@ -11,8 +11,9 @@ import java.nio.file.{Files, Paths}
   * variant").
   *
   * Build: deterministic Lloyd's k-means over the (double-cast) vectors —
-  * centroids broadcast each iteration (k is small), assignment is one
-  * map-only pass, the update one groupBy(centroid) mean — then vectors are
+  * centroids broadcast each iteration (k is small), assignment + update one
+  * map-only pass emitting <= k per-partition (vecSum, count) partials that
+  * merge on the driver (O(k·dim·partitions) moved bytes) — then vectors are
   * written range-partitioned and sorted by centroid id ("inverted lists" as
   * parquet row groups; min/max stats make a centroid probe skip everything
   * else). Centroids persist beside the lists.
@@ -58,23 +59,44 @@ object IvfIndex {
       best
     }
 
+    // Lloyd's update with a MAP-SIDE COMBINE: each input partition reduces
+    // its rows to at most k (vecSum, count) partials sequentially (one
+    // mapPartitions pass — the vectors themselves never shuffle), and the
+    // driver merges the tiny k x partitions x dim partial table. Wire + driver
+    // bytes per iteration: O(k * dim * partitions), independent of n — the
+    // round-3 groupByKey.mapGroups shape shuffled ALL n*dim vector bytes into
+    // <= k reduce tasks every iteration. Determinism: per-partition sums run
+    // in the persisted partition's row order and the driver merge is sorted
+    // by (cid, partitionId), so the float summation tree is fixed
+    // (OpsSpec gates centroid equality against a sequential reference).
     (1 to iters).foreach { _ =>
       val bc = spark.sparkContext.broadcast(centroids)
-      val updated = vecs.as[(Long, Seq[Double])]
-        .map { case (_, v) => (nearest(bc.value)(v), v) }
-        .groupByKey(_._1)
-        .mapGroups { (cid, it) =>
-          val sum = new Array[Double](dim)
-          var n = 0L
+      val partials: Array[(Int, Int, Seq[Double], Long)] = vecs.as[(Long, Seq[Double])]
+        .mapPartitions { it =>
+          val cs = bc.value
+          val sums = Array.fill(cs.length)(new Array[Double](dim))
+          val counts = new Array[Long](cs.length)
           it.foreach { case (_, v) =>
-            var i = 0; while (i < dim) { sum(i) += v(i); i += 1 }; n += 1
+            val c = nearest(cs)(v)
+            val s = sums(c)
+            var i = 0; while (i < dim) { s(i) += v(i); i += 1 }
+            counts(c) += 1
           }
-          (cid, sum.map(_ / n).toSeq)
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          (0 until cs.length).iterator.filter(counts(_) > 0)
+            .map(c => (pid, c, sums(c).toSeq, counts(c)))
         }
         .collect()
-      // empty clusters keep their previous centroid (standard Lloyd's)
-      val next = centroids.clone()
-      updated.foreach { case (cid, c) => next(cid) = c.toArray }
+      val next = centroids.clone() // empty clusters keep their previous centroid
+      partials.groupBy(_._2).foreach { case (cid, ps) =>
+        val sum = new Array[Double](dim)
+        var n = 0L
+        ps.sortBy(_._1).foreach { case (_, _, s, cnt) =>
+          var i = 0; while (i < dim) { sum(i) += s(i); i += 1 }
+          n += cnt
+        }
+        next(cid) = sum.map(_ / n)
+      }
       centroids = next
       bc.destroy()
     }

@@ -15,9 +15,16 @@ import org.apache.spark.sql.functions._
   * collected once instead — lowest latency when it safely fits. Set
   * `maxDriverTerms = 0` to force the probe path (the strategies are
   * answer-identical; EngineSpec gates this).
+  *
+  * The probe cache is a BOUNDED LRU (`maxCacheTerms` entries, access-order
+  * eviction): a long-lived query service probing unbounded distinct terms
+  * holds at most `maxCacheTerms` resolved (field, term) -> df entries on the
+  * driver — ~100 B each, so the default bound costs <= ~100 MB — while
+  * repeat queries over RECENT terms stay probe-free (EngineSpec gates both).
   */
 final class DictProbe(spark: SparkSession, dictPath: String,
-                      maxDriverTerms: Long = 1L << 22) extends Serializable {
+                      maxDriverTerms: Long = 1L << 22,
+                      val maxCacheTerms: Int = 1 << 20) extends Serializable {
   import spark.implicits._
 
   private lazy val dictDF: DataFrame = spark.read.parquet(dictPath)
@@ -32,8 +39,17 @@ final class DictProbe(spark: SparkSession, dictPath: String,
         .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap)
     else None
 
+  /** Access-order LinkedHashMap = true LRU; eldest entry drops past the
+    * bound. Guarded by its own monitor — driver-side only, contention-free.
+    */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+    new java.util.LinkedHashMap[(String, String), java.lang.Long](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), java.lang.Long]): Boolean =
+        size() > maxCacheTerms
+    }
+
+  private[graft] def cacheSize: Int = cache.synchronized(cache.size())
 
   /** Probe jobs issued (tests assert repeat queries stay at 0 extra). */
   private[graft] val probes = new java.util.concurrent.atomic.AtomicLong(0)
@@ -42,21 +58,32 @@ final class DictProbe(spark: SparkSession, dictPath: String,
   def dfOf(keys: Set[(String, String)]): Map[(String, String), Long] = full match {
     case Some(d) => keys.iterator.flatMap(k => d.get(k).map(k -> _)).toMap
     case None =>
-      val missing = keys.filterNot(cache.containsKey)
-      if (missing.nonEmpty) {
-        probes.incrementAndGet()
-        val terms = missing.map(_._2).toSeq
-        val fields = missing.map(_._1).toSeq
-        val found = dictDF
-          .filter($"term".isin(terms: _*) && $"field".isin(fields: _*))
-          .select($"field", $"term", $"df")
-          .collect()
-          .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
-        missing.foreach(k => cache.put(k, Long.box(found.getOrElse(k, 0L))))
+      // resolve from cache first (touches entries = LRU recency)
+      val fromCache = cache.synchronized {
+        keys.iterator.flatMap { k =>
+          Option(cache.get(k)).map(k -> _.longValue)
+        }.toMap
       }
-      keys.iterator.flatMap { k =>
-        val df = cache.get(k)
-        if (df == null || df.longValue == 0L) None else Some(k -> df.longValue)
-      }.toMap
+      val missing = keys.filterNot(fromCache.contains)
+      val found: Map[(String, String), Long] =
+        if (missing.isEmpty) Map.empty
+        else {
+          probes.incrementAndGet()
+          val terms = missing.map(_._2).toSeq
+          val fields = missing.map(_._1).toSeq
+          val f = dictDF
+            .filter($"term".isin(terms: _*) && $"field".isin(fields: _*))
+            .select($"field", $"term", $"df")
+            .collect()
+            .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+          cache.synchronized {
+            missing.foreach(k => cache.put(k, Long.box(f.getOrElse(k, 0L))))
+          }
+          f
+        }
+      // answers come from THIS call's cache hits + probe result, so a bound
+      // smaller than one query's key set can never lose a resolved df
+      (fromCache ++ missing.iterator.map(k => k -> found.getOrElse(k, 0L)))
+        .filter(_._2 != 0L)
   }
 }

@@ -43,9 +43,9 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
   private final class Segment(val dir: String, val meta: IndexMeta, val offset: Long) {
     val dict = new DictProbe(spark, s"$dir/dictionary", DictionaryMaxDriverTerms)
     lazy val tombstoneCount: Long = graft.index.Tombstones.count(spark, dir)
-    lazy val tombstonesBc: Broadcast[Array[Long]] =
-      spark.sparkContext.broadcast(graft.index.Tombstones.loadSorted(spark, dir))
-    lazy val normsBc: Broadcast[Array[Array[Byte]]] = {
+    lazy val tombstonesBc: Broadcast[Array[Long]] = track(
+      spark.sparkContext.broadcast(graft.index.Tombstones.loadSorted(spark, dir)))
+    lazy val normsBc: Broadcast[Array[Array[Byte]]] = track {
       normBuilds.incrementAndGet()
       val n = meta.nDocs.toInt
       val lens = Array.ofDim[Byte](3, n)
@@ -58,6 +58,28 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
           lens(2)(id.toInt) = SmallFloat.intToByte4(lr)
         }
       spark.sparkContext.broadcast(lens)
+    }
+  }
+
+  /** Every broadcast this searcher ever created — the close() inventory. */
+  private val liveBroadcasts =
+    new java.util.concurrent.ConcurrentLinkedQueue[Broadcast[_]]()
+  private def track[T](bc: Broadcast[T]): Broadcast[T] = { liveBroadcasts.add(bc); bc }
+  private[graft] def liveBroadcastCount: Int = liveBroadcasts.size()
+
+  /** Release every norm/tombstone broadcast this searcher created. A
+    * long-lived service cycling delta generations creates a fresh
+    * MultiSearcher per segment set; without this the per-segment broadcasts
+    * (1 byte/doc/field norms + 8 B/id tombstones, per segment generation)
+    * accrete in executor/driver block managers for the JVM's lifetime. The
+    * searcher is DEAD after close — create a new one for the next segment
+    * set. In-flight queries on other threads must have completed.
+    */
+  def close(): Unit = {
+    var bc = liveBroadcasts.poll()
+    while (bc != null) {
+      try bc.destroy() catch { case _: Throwable => }
+      bc = liveBroadcasts.poll()
     }
   }
 

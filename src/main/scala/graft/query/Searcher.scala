@@ -169,15 +169,32 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
     * during scoring. Only the small regime touches this (see
     * [[TombstonesMaxBroadcast]]).
     */
-  lazy val tombstonesBc: Broadcast[Array[Long]] =
-    spark.sparkContext.broadcast(graft.index.Tombstones.loadSorted(spark, indexDir))
+  lazy val tombstonesBc: Broadcast[Array[Long]] = track(
+    spark.sparkContext.broadcast(graft.index.Tombstones.loadSorted(spark, indexDir)))
+
+  /** Broadcasts created by this searcher ([[close]] inventory). */
+  private val liveBroadcasts =
+    new java.util.concurrent.ConcurrentLinkedQueue[Broadcast[_]]()
+  private def track[T](bc: Broadcast[T]): Broadcast[T] = { liveBroadcasts.add(bc); bc }
+  private[graft] def liveBroadcastCount: Int = liveBroadcasts.size()
+
+  /** Release the norm/tombstone broadcasts. The searcher is dead after
+    * close — open a new one for the next snapshot generation.
+    */
+  def close(): Unit = {
+    var bc = liveBroadcasts.poll()
+    while (bc != null) {
+      try bc.destroy() catch { case _: Throwable => }
+      bc = liveBroadcasts.poll()
+    }
+  }
 
   private def deletedFn(ts: Array[Long]): Long => Boolean =
     if (ts.isEmpty) _ => false
     else d => java.util.Arrays.binarySearch(ts, d) >= 0
 
   /** Dense norms broadcast once per searcher. */
-  lazy val normsBc: Broadcast[NormTable] = {
+  lazy val normsBc: Broadcast[NormTable] = track {
     val fields = DefaultFields.toArray
     val n = meta.nDocs.toInt
     val arrs = fields.map(_ => new Array[Byte](n))

@@ -128,6 +128,26 @@ class EngineSpec extends AnyFunSuite {
     assert(forced.dictProbes == probesAfter, "repeat queries must not re-probe")
   }
 
+  test("DictProbe cache is a bounded LRU: size capped, recent terms probe-free") {
+    meta // force the index build
+    val dict = new graft.query.DictProbe(spark, s"$tmp/dictionary",
+      maxDriverTerms = 0, maxCacheTerms = 8)
+    // probe 2x the bound's distinct terms, one at a time (absent terms cache
+    // as df=0 — the negative-cache population)
+    (1 to 16).foreach(i => dict.dfOf(Set(("content", s"lruterm$i"))))
+    assert(dict.cacheSize <= 8, s"cache size ${dict.cacheSize} exceeds the bound")
+    val probesAfter = dict.probes.get()
+    // the 8 most recent terms are still cached: re-resolving issues no job
+    (9 to 16).foreach(i => dict.dfOf(Set(("content", s"lruterm$i"))))
+    assert(dict.probes.get() == probesAfter, "recent terms must stay probe-free")
+    // an evicted early term re-probes (it really is LRU, not stop-inserting)
+    dict.dfOf(Set(("content", "lruterm1")))
+    assert(dict.probes.get() == probesAfter + 1, "evicted term must re-probe")
+    // present terms still resolve correctly through the bounded cache
+    val key = ("content", "buffer")
+    assert(dict.dfOf(Set(key)).getOrElse(key, 0L) > 0)
+  }
+
   test("NormsMaxDocs=0 auto-routes to the shuffle strategy, identical answers") {
     meta // force the index build
     val big = new Searcher(spark, tmp)

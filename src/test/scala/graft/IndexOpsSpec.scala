@@ -145,6 +145,66 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(IndexOps.realtimeGet(spark, dir, Seq(victim)).count() == 0)
   }
 
+  test("maintain: tombstone-ratio compaction -> one clean segment, identical scores") {
+    meta
+    val dir = java.nio.file.Files.createTempDirectory("graftmaint").toString
+    IndexBuilder.build(spark, docs, dir, cfg)
+    // fresh index, no deltas: the policy declines (props-only decision)
+    val out0 = java.nio.file.Files.createTempDirectory("graftmaintO0").toString
+    assert(IndexOps.maintain(spark, dir, Nil, out0, cfg).isEmpty,
+      "clean index must not compact")
+    // delete ~30% (3 of 10 repos) in place -> ratio > default 0.2
+    Seq("repo-0000", "repo-0001", "repo-0002").foreach(r =>
+      IndexOps.deleteByQueryInPlace(spark, dir, s"repo:$r"))
+    val live = IndexOps.liveDocs(spark, dir).count()
+    assert(live < 600)
+    def shasOf(d: String): Map[Long, String] =
+      spark.read.parquet(s"$d/docstats").select("docId", "sha")
+        .as[(Long, String)].collect().toMap
+    val qs = Seq("buffer", "def class import return", "buffer sort merge")
+
+    val out = java.nio.file.Files.createTempDirectory("graftmaintO1").toString
+    val merged = IndexOps.maintain(spark, dir, Nil, out, cfg)
+    assert(merged.nonEmpty, "30% tombstones must trigger compaction")
+    assert(merged.get.nDocs == live, "merged segment holds exactly the survivors")
+    assert(graft.index.Tombstones.count(spark, out) == 0 &&
+      graft.index.Tombstones.files(out).isEmpty, "compaction squeezes tombstones out")
+
+    // compaction updates BM25 stats to the survivor set (like a Lucene
+    // merge: deleted docs count in N/df/avgLen until merged away), so the
+    // identity gate is merged == FRESH BUILD over exactly the survivors
+    val survivors = docs.filter(d =>
+      !Seq("repo-0000", "repo-0001", "repo-0002").contains(d.repo))
+    val freshDir = java.nio.file.Files.createTempDirectory("graftmaintF").toString
+    IndexBuilder.build(spark, survivors, freshDir, cfg)
+    val postShas = shasOf(out)
+    val freshShas = shasOf(freshDir)
+    val post = new graft.query.Searcher(spark, out)
+    val fresh = new graft.query.Searcher(spark, freshDir)
+    qs.foreach { q =>
+      val got = post.search(q, 10).toSeq.map(h => (postShas(h.docId), h.score))
+      val expect = fresh.search(q, 10).toSeq.map(h => (freshShas(h.docId), h.score))
+      assert(got.map(_._2) == expect.map(_._2), s"[$q] score sequence")
+      if (expect.nonEmpty) {
+        val boundary = expect.last._2
+        assert(got.filter(_._2 > boundary).map(_._1).toSet ==
+          expect.filter(_._2 > boundary).map(_._1).toSet, s"[$q] above-boundary docs")
+      }
+    }
+
+    // delta-accretion trigger: one delta with maxDeltas=0 compacts even with
+    // zero tombstones; the default policy declines the same single delta
+    val deltaDocs = spark.range(600, 650).as[Long].map(i => CodeCorpus.genDoc(i, 10))
+    val deltaDir = java.nio.file.Files.createTempDirectory("graftmaintD").toString
+    IndexBuilder.build(spark, deltaDocs, deltaDir, cfg)
+    val out2 = java.nio.file.Files.createTempDirectory("graftmaintO2").toString
+    assert(IndexOps.maintain(spark, out, Seq(deltaDir), out2, cfg).isEmpty,
+      "one delta is below the default maxDeltas")
+    val m2 = IndexOps.maintain(spark, out, Seq(deltaDir), out2, cfg, maxDeltas = 0)
+    assert(m2.nonEmpty && m2.get.nDocs == live + 50,
+      "delta trigger folds base + delta into one segment")
+  }
+
   test("upsert via delta segment + tombstones: new version visible, old gone") {
     meta
     val baseDir = java.nio.file.Files.createTempDirectory("graftup").toString

@@ -118,6 +118,24 @@ class MultiSearcherSpec extends AnyFunSuite {
       "shuffle path must touch neither driver runs nor dense norms")
   }
 
+  test("close() releases per-segment broadcasts; next generation rebuilds cleanly") {
+    // generation 1: searcher over (A, B) builds norm + tombstone broadcasts
+    val gen1 = new MultiSearcher(spark, Seq(segADir, segBDir))
+    val first = gen1.search("buffer def class", 10)
+    assert(first.nonEmpty)
+    assert(gen1.liveBroadcastCount > 0, "search must have created broadcasts")
+    // segment swap: a long-lived service opens the next generation and closes
+    // the old one — its whole broadcast inventory must drain (destroy()),
+    // not accrete in the block manager for the JVM's lifetime
+    val gen2 = new MultiSearcher(spark, Seq(segADir, segBDir))
+    gen1.close()
+    assert(gen1.liveBroadcastCount == 0, "close must drain every broadcast")
+    val again = gen2.search("buffer def class", 10)
+    assert(again.toSeq == first.toSeq, "next generation answers identically")
+    gen2.close()
+    assert(gen2.liveBroadcastCount == 0)
+  }
+
   test("mergeSegments: compaction without source == fresh build over survivors") {
     import graft.index.IndexOps
     // fresh copies of the two segments so tombstones don't leak to other tests

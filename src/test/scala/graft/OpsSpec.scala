@@ -264,6 +264,56 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF k-means map-side partials: centroids bit-identical to sequential reference") {
+    // Dyadic-rational components (k/16): every partial sum is EXACT in
+    // IEEE754, so no summation order can change a bit — the map-side-combine
+    // build (per-partition partials + sorted driver merge) must produce
+    // centroids bit-identical to a plain sequential Lloyd's run.
+    val dim = 4
+    val n = 64L
+    def vec(id: Long): Array[Double] =
+      Array.tabulate(dim)(j => ((id * 7 + j * 3) % 32).toDouble / 16.0)
+    val emb = spark.range(0L, n, 1L, 4) // 4 deterministic partitions
+      .map(i => (i, vec(i).map(_.toFloat).toSeq)).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfdet").toString
+    graft.ops.IvfIndex.build(spark, emb, "vec_id", "embedding", dir,
+      nCentroids = 4, iters = 3, partitions = 2)
+
+    // sequential reference: same init (smallest md5(id)), same Lloyd's
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byId = (0L until n).map(i => i -> vec(i).map(x => x.toFloat.toDouble)).toMap
+    var cs: Array[Array[Double]] = (0L until n).sortBy(i => md5hex(i.toString))
+      .take(4).map(i => byId(i).clone).toArray
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    (1 to 3).foreach { _ =>
+      val sums = Array.fill(4)(new Array[Double](dim))
+      val counts = new Array[Long](4)
+      (0L until n).foreach { i =>
+        val v = byId(i); val c = nearest(v)
+        var j = 0; while (j < dim) { sums(c)(j) += v(j); j += 1 }
+        counts(c) += 1
+      }
+      cs = Array.tabulate(4)(c =>
+        if (counts(c) > 0) sums(c).map(_ / counts(c)) else cs(c))
+    }
+    val got = graft.ops.IvfIndex.readCentroids(dir)
+    assert(got.length == 4)
+    got.zip(cs).zipWithIndex.foreach { case ((g, r), i) =>
+      assert(g.toSeq == r.toSeq, s"centroid $i must be bit-identical")
+    }
+  }
+
   test("minhash bands: identical shingle sets share every band signature") {
     val df = Seq(
       (1L, Seq("a b c", "b c d", "c d e")),
