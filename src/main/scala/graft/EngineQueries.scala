@@ -254,4 +254,36 @@ object EngineQueries {
       rows.toDF("query", "hits", "top1", "regimes_identical").orderBy(col("query"))
     })
   )
+
+  /** DuckDB oracles for the index-table queries whose semantics ARE
+    * ANSI-expressible over the source `documents` table. The docId column is
+    * re-derived in SQL exactly as the build assigns it — the global rank in
+    * (sha256(content), repo, path, commit) order (IndexBuilder.withDocIds) —
+    * so these hash checks also gate docId determinism end-to-end.
+    *
+    * `ix_facet`'s `content:*` clause is a token-count>0 test engine-side;
+    * the oracle drops it because every synthetic document tokenizes
+    * non-empty (verified: zero docs without [A-Za-z0-9] at sf0.001/0.01/0.1),
+    * making the exists-filter total on this corpus.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "ix_query_filter" ->
+      """WITH code AS (
+        |  SELECT source AS repo,
+        |    'docs/' || lang || '/doc_' || doc_id || '.txt' AS path,
+        |    printf('%012x', doc_id) AS commit,
+        |    lang, text AS content
+        |  FROM documents
+        |), ids AS (
+        |  SELECT row_number() OVER (ORDER BY sha256(content), repo, path, commit) - 1 AS docId,
+        |    repo, path, lang
+        |  FROM code
+        |)
+        |SELECT docId, repo, path, lang FROM ids
+        |WHERE lang IN ('en', 'de') ORDER BY docId""".stripMargin,
+
+    "ix_facet" ->
+      """SELECT lang, count(*) AS cnt FROM documents
+        |GROUP BY lang ORDER BY cnt DESC, lang""".stripMargin
+  )
 }

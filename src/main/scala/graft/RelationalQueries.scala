@@ -362,6 +362,9 @@ object RelationalQueries {
     // MinHash + LSH banding: per-doc band signatures, then candidate pairs
     "q_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
+        // a narrow filter must not collapse the heavy shingle+hash compute
+        // onto one scan task — spread the surviving rows across the cores
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("w", split(lower(trim(col("text"))), "\\s+"))
         .withColumn("sh", array_distinct(
           when(size(col("w")) >= 3,
@@ -370,10 +373,10 @@ object RelationalQueries {
                 element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
             .otherwise(array())))
         .filter(size(col("sh")) > 0)
-        .withColumn("bands", transform(sequence(lit(0), lit(7)),
-          bnd => struct(bnd.as("band"),
-            array_min(transform(col("sh"),
-              sh => md5(concat(bnd.cast("string"), lit(":"), sh)))).as("sig"))))
+        // one md5 pass per shingle in its own projection; bands are cheap
+        // affine transforms of the hashed array (Dedup.minhashBands family)
+        .withColumn("hs", graft.ops.Dedup.minhashHashes(col("sh")))
+        .withColumn("bands", graft.ops.Dedup.minhashBandsFromHashes(col("hs"), 8))
         .select(col("doc_id"), explode(col("bands")).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val l = docs.select(col("doc_id").as("a"), col("band"), col("sig"))
@@ -404,6 +407,8 @@ object RelationalQueries {
 
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
+        // spread the 60 surviving heavy rows across cores (see q_minhash_lsh)
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("w", split(lower(trim(col("text"))), "\\s+"))
         .withColumn("sh", array_distinct(
           when(size(col("w")) >= 3,
@@ -412,7 +417,8 @@ object RelationalQueries {
                 element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
             .otherwise(array())))
         .filter(size(col("sh")) > 0)
-        .withColumn("bands", graft.ops.Dedup.minhashBands(col("sh"), 8))
+        .withColumn("hs", graft.ops.Dedup.minhashHashes(col("sh")))
+        .withColumn("bands", graft.ops.Dedup.minhashBandsFromHashes(col("hs"), 8))
         .select(col("doc_id"), explode(col("bands")).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val l = docs.select(col("doc_id").as("a"), col("band"), col("sig"))
@@ -432,7 +438,8 @@ object RelationalQueries {
     // kept, losers dropped (the composed training-data pipeline)
     "q_dedup_corpus" -> ((s, dir) => {
       graft.ops.Dedup.dedupCorpus(
-        t(s, dir, "documents").filter(col("doc_id") < 60), "doc_id", "text")
+        t(s, dir, "documents").filter(col("doc_id") < 60)
+          .repartition(s.sparkContext.defaultParallelism), "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }),
@@ -791,11 +798,16 @@ object RelationalQueries {
         |s AS (SELECT doc_id, list_distinct(
         |    CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END) AS sh FROM w),
+        |hs AS (SELECT doc_id,
+        |    list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+        |  FROM s WHERE len(sh) > 0),
         |sigs AS (SELECT doc_id,
         |    unnest(generate_series(0, 7)) AS band,
         |    unnest(list_transform(generate_series(0, 7),
-        |      b -> list_min(list_transform(sh, x -> md5(b::varchar || ':' || x))))) AS sig
-        |  FROM s WHERE len(sh) > 0)
+        |      b -> list_min(list_transform(hs,
+        |        x -> (((2654435761 * (b + 1)) % 2147483647) * x
+        |              + ((2246822519 * (b + 1)) % 2147483647)) % 4294967311)))) AS sig
+        |  FROM hs)
         |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared_bands
         |FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
         |WHERE l.doc_id < r.doc_id
@@ -815,11 +827,16 @@ object RelationalQueries {
         |s AS (SELECT doc_id, list_distinct(
         |    CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END) AS sh FROM w),
+        |hs AS (SELECT doc_id,
+        |    list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+        |  FROM s WHERE len(sh) > 0),
         |sigs AS (SELECT doc_id,
         |    unnest(generate_series(0, 7)) AS band,
         |    unnest(list_transform(generate_series(0, 7),
-        |      b -> list_min(list_transform(sh, x -> md5(b::varchar || ':' || x))))) AS sig
-        |  FROM s WHERE len(sh) > 0),
+        |      b -> list_min(list_transform(hs,
+        |        x -> (((2654435761 * (b + 1)) % 2147483647) * x
+        |              + ((2246822519 * (b + 1)) % 2147483647)) % 4294967311)))) AS sig
+        |  FROM hs),
         |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
         |  FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
         |  WHERE l.doc_id < r.doc_id),
@@ -842,11 +859,16 @@ object RelationalQueries {
         |s AS (SELECT doc_id, list_distinct(
         |    CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END) AS sh FROM w),
+        |hs AS (SELECT doc_id,
+        |    list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+        |  FROM s WHERE len(sh) > 0),
         |sigs AS (SELECT doc_id,
         |    unnest(generate_series(0, 7)) AS band,
         |    unnest(list_transform(generate_series(0, 7),
-        |      b -> list_min(list_transform(sh, x -> md5(b::varchar || ':' || x))))) AS sig
-        |  FROM s WHERE len(sh) > 0),
+        |      b -> list_min(list_transform(hs,
+        |        x -> (((2654435761 * (b + 1)) % 2147483647) * x
+        |              + ((2246822519 * (b + 1)) % 2147483647)) % 4294967311)))) AS sig
+        |  FROM hs),
         |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
         |  FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
         |  WHERE l.doc_id < r.doc_id),

@@ -60,6 +60,6 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (same column names, same ordering). */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ UrsusRecordQueries.oracleSql ++
-      SinaiQueries.oracleSql
+    RelationalQueries.oracleSql ++ EngineQueries.oracleSql ++
+      UrsusRecordQueries.oracleSql ++ SinaiQueries.oracleSql
 }

@@ -140,13 +140,45 @@ object Dedup {
     out
   }
 
-  /** MinHash signature bands (b bands, string-min of per-band hashed
-    * shingles); equi-join on (band, sig) yields LSH candidates.
+  /** Modulus / per-band affine constants of the MinHash family — mirrored
+    * VERBATIM in the DuckDB oracles (q_minhash_lsh / q_dedup_*): the hash
+    * check is cross-engine, so the constants are part of the spec.
+    */
+  val MinhashP = 4294967311L // smallest prime > 2^32
+  def minhashA(b: Int): Long = (2654435761L * (b + 1)) % 2147483647L
+  def minhashC(b: Int): Long = (2246822519L * (b + 1)) % 2147483647L
+
+  /** 32-bit-per-shingle hash array: ONE md5 per shingle (top 8 hex chars),
+    * reused by every band. Materialize this as its OWN column before calling
+    * [[minhashBandsFromHashes]] — the band expressions reference it `bands`
+    * times, which is exactly what stops CollapseProject from inlining the
+    * digest work back into each band (multi-referenced non-cheap aliases
+    * don't collapse).
+    */
+  def minhashHashes(sh: Column): Column =
+    transform(sh, s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+
+  /** MinHash signature bands over a pre-hashed shingle array: band b's
+    * signature is min over shingles of the affine (a_b·h + c_b) mod P —
+    * Broder-style universal hashing. One digest per shingle instead of one
+    * per (shingle, band): the hashing that dominates corpus-scale dedup CPU
+    * drops by the band count, and signatures join as LONGs, not 32-char
+    * md5 strings.
+    */
+  def minhashBandsFromHashes(hs: Column, bands: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        array_min(transform(hs,
+          x => (lit(minhashA(b)) * x + lit(minhashC(b))) % lit(MinhashP))).as("sig"))
+    }: _*)
+
+  /** MinHash signature bands from raw shingles; equi-join on (band, sig)
+    * yields LSH candidates. Convenience form — prefer the two-step
+    * [[minhashHashes]] -> [[minhashBandsFromHashes]] in pipelines so the
+    * digest pass stays a single projection.
     */
   def minhashBands(sh: Column, bands: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"),
-        array_min(transform(sh, s => md5(concat(b.cast("string"), lit(":"), s)))).as("sig")))
+    minhashBandsFromHashes(minhashHashes(sh), bands)
 
   /** End-to-end near-dup corpus deduplication — the composed pipeline a
     * training-data run actually executes: shingle -> MinHash bands -> LSH
@@ -174,7 +206,8 @@ object Dedup {
       .withColumn("_sh", array_distinct(
         shingles(split(lower(trim(col(textCol))), "\\s+"), shingleK)))
       .filter(size(col("_sh")) > 0)
-      .withColumn("_b", minhashBands(col("_sh"), bands))
+      .withColumn("_hs", minhashHashes(col("_sh"))) // one md5 pass, own column
+      .withColumn("_b", minhashBandsFromHashes(col("_hs"), bands))
       .select(col(idCol).as("_id"), explode(col("_b")).as("bs"))
       .select(col("_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

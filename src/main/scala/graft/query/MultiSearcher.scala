@@ -162,9 +162,10 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     val cls = QueryPlan.clauses(query, fields)
     if (cls.isEmpty) return Array.empty
     val needed = cls.flatMap(_.perField.toSeq).toSet
-    // one batched df resolution per segment (probe- or driver-cached); the
-    // per-segment sums double as each segment's strategy selector, free
-    val perSegDf = segments.map(_.dict.dfOf(needed))
+    // one batched df resolution per segment (probe- or driver-cached),
+    // resolved IN PARALLEL — each uncached probe is an independent Spark
+    // job; the per-segment sums double as the strategy selector, free
+    val perSegDf = awaitAll(segments.map(seg => () => seg.dict.dfOf(needed)))
     val idfMap = needed.toSeq
       .map(k2 => k2 -> perSegDf.map(_.getOrElse(k2, 0L)).sum).filter(_._2 > 0)
       .map { case (k2, df) => k2 -> BM25.idf(totalDocs, df) }.toMap
@@ -173,22 +174,42 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     val fieldArr = DefaultFields.toArray
     val avg = globalAvgLen
 
+    // per-segment scoring fans out across threads (bounded pool) the way
+    // Lucene overlaps per-segment searches: each segment's job(s) are
+    // independent, so query latency tracks the SLOWEST segment, not the
+    // segment-count sum. Deterministic: TopK's (score desc, docId asc)
+    // order is total, so merge order cannot change the selected set.
+    val segResults: Seq[Seq[Hit]] =
+      awaitAll(segments.zip(perSegDf).map { case (seg, segDf) => () =>
+        val segPostings = idfMap.keysIterator.map(k2 => segDf.getOrElse(k2, 0L)).sum
+        if (segPostings == 0) Seq.empty[Hit]
+        else {
+          val segHits: Iterator[Hit] =
+            if (seg.meta.nDocs > NormsMaxDocs || seg.tombstoneCount > TombstonesMaxBroadcast)
+              searchSegmentShuffle(seg, cls, fieldArr, idfMap, avg, minMatch, k)
+            else if (segPostings > DriverKernelMaxPostings)
+              searchSegmentDistributed(seg, cls, fieldArr, idfMap, avg, minMatch, k)
+            else
+              searchSegmentDriver(seg, cls, fieldArr, idfMap, avg, minMatch, k)
+          segHits.map(h => Hit(seg.offset + h.docId, h.score)).toSeq
+        }
+      })
     val top = new TopK(k)
-    segments.zip(perSegDf).foreach { case (seg, segDf) =>
-      val segPostings = idfMap.keysIterator.map(k2 => segDf.getOrElse(k2, 0L)).sum
-      if (segPostings > 0) {
-        val segHits: Iterator[Hit] =
-          if (seg.meta.nDocs > NormsMaxDocs || seg.tombstoneCount > TombstonesMaxBroadcast)
-            searchSegmentShuffle(seg, cls, fieldArr, idfMap, avg, minMatch, k)
-          else if (segPostings > DriverKernelMaxPostings)
-            searchSegmentDistributed(seg, cls, fieldArr, idfMap, avg, minMatch, k)
-          else
-            searchSegmentDriver(seg, cls, fieldArr, idfMap, avg, minMatch, k)
-        segHits.foreach(h => top.offer(Hit(seg.offset + h.docId, h.score)))
-      }
-    }
+    segResults.foreach(_.foreach(top.offer))
     top.sortedHits
   }
+
+  /** Run thunks on the shared bounded pool; single-element lists run inline
+    * (no pool hop for the one-segment case). Failures propagate.
+    */
+  private def awaitAll[T](tasks: Seq[() => T]): Seq[T] =
+    if (tasks.lengthCompare(1) <= 0) tasks.map(_())
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = MultiSearcher.segmentPool
+      Await.result(Future.sequence(tasks.map(t => Future(t()))), Duration.Inf)
+    }
 
   /** Small segments: collect the term-filtered runs, kernel on the driver. */
   private def searchSegmentDriver(seg: Segment, cls: Array[Clause], fieldArr: Array[String],
@@ -271,4 +292,20 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     val seg = segments.reverse.find(_.offset <= globalId).get
     (seg.dir, globalId - seg.offset)
   }
+}
+
+object MultiSearcher {
+  /** Shared bounded pool for the per-segment fan-out: Spark jobs submitted
+    * from separate threads overlap in the scheduler (FIFO is fine — the
+    * jobs are tiny), while the bound keeps a very wide segment list from
+    * flooding it. Daemon threads — never blocks JVM exit.
+    */
+  private lazy val segmentPool: scala.concurrent.ExecutionContextExecutorService =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-multisearch")
+          t.setDaemon(true)
+          t
+        }))
 }

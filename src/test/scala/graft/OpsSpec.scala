@@ -323,7 +323,7 @@ class OpsSpec extends AnyFunSuite {
       .select($"id", explode($"bands").as("b"))
       .select($"id", $"b.band", $"b.sig")
       .collect().groupBy(_.getLong(0))
-      .view.mapValues(_.map(r => (r.getInt(1), r.getString(2))).toSet).toMap
+      .view.mapValues(_.map(r => (r.getInt(1), r.getLong(2))).toSet).toMap
     assert(sigs(1L) == sigs(2L))
   }
 }
