@@ -98,11 +98,22 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Every query here RETURNS HITS on the synthetic corpus (rounds 1-3
+    * carried three queries whose terms don't exist as bare tokens — the
+    * vocabulary is compound identifiers + keywords — so they short-circuited
+    * driver-side in ~0.2 ms and deflated every latency percentile; see
+    * BENCH/BASELINE.md round 4). Identifier terms are drawn from the
+    * deterministic vocabulary by Zipf rank: ~100 (common), ~500 (mid),
+    * ~3000 (rare — exercises WAND pivot skipping against the head term).
+    */
   val BenchQueries: Seq[String] = Seq(
-    "buffer", // head term
-    "parse merge", "binary search tree implementation",
-    "sort scan hash index query score", "red black tree rotation",
-    "readwriter42 codec", "def class import return val var match case")
+    "buffer", // head term, planted in ~40% of docs
+    "lazy implicit", // two keyword terms, both required (mm 2)
+    "binary search tree implementation", // planted phrase, mm 4->3
+    "red black tree rotation", // planted phrase
+    s"${CodeCorpus.Vocab(100)} ${CodeCorpus.Vocab(500)}", // mid-rank identifiers
+    s"${CodeCorpus.Vocab(3000)} buffer", // rare + head: pivot skipping
+    "def class import return val var match case") // 8 keywords -> mm 7
 
   /** Build + query benchmark on a fresh session; returns metric map.
     * `full = false` (the JIT warm-up pass) skips the distributed-strategy
@@ -236,7 +247,7 @@ object Bench {
         .select(col("id"), concat(lit("a b c d e f "), col("id").cast("string")).as("t"))
         .withColumn("sh", graft.ops.Dedup.shingles(split(col("t"), " "), 3))
         .withColumn("hs", graft.ops.Dedup.minhashHashes(col("sh")))
-        .withColumn("b", explode(graft.ops.Dedup.minhashBandsFromHashes(col("hs"), 8)))
+        .withColumn("b", explode_outer(graft.ops.Dedup.minhashBandsFromHashes(col("hs"), 8)))
         .select(col("id"), col("b.band").as("band"), col("b.sig").as("sig"))
       d.as("l").join(d.as("r"), Seq("band", "sig"))
         .groupBy(col("l.id")).count().collect()

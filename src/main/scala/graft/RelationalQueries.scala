@@ -377,7 +377,7 @@ object RelationalQueries {
         // affine transforms of the hashed array (Dedup.minhashBands family)
         .withColumn("hs", graft.ops.Dedup.minhashHashes(col("sh")))
         .withColumn("bands", graft.ops.Dedup.minhashBandsFromHashes(col("hs"), 8))
-        .select(col("doc_id"), explode(col("bands")).as("bs"))
+        .select(col("doc_id"), explode_outer(col("bands")).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val l = docs.select(col("doc_id").as("a"), col("band"), col("sig"))
       val r = docs.select(col("doc_id").as("b"), col("band"), col("sig"))
@@ -419,7 +419,7 @@ object RelationalQueries {
         .filter(size(col("sh")) > 0)
         .withColumn("hs", graft.ops.Dedup.minhashHashes(col("sh")))
         .withColumn("bands", graft.ops.Dedup.minhashBandsFromHashes(col("hs"), 8))
-        .select(col("doc_id"), explode(col("bands")).as("bs"))
+        .select(col("doc_id"), explode_outer(col("bands")).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val l = docs.select(col("doc_id").as("a"), col("band"), col("sig"))
       val r = docs.select(col("doc_id").as("b"), col("band"), col("sig"))

@@ -107,7 +107,7 @@ object Dedup {
     // consumed by the hot-bucket count AND both join sides); released below
     // once the result is materialized, so repeated calls don't leak storage
     val banded = withSig.select(col("id"), col("sig"),
-      explode(array(bandStructs: _*)).as("bk"))
+      explode_outer(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
       .persist()
     val hot = banded.groupBy("band", "key").count()
@@ -208,7 +208,12 @@ object Dedup {
       .filter(size(col("_sh")) > 0)
       .withColumn("_hs", minhashHashes(col("_sh"))) // one md5 pass, own column
       .withColumn("_b", minhashBandsFromHashes(col("_hs"), bands))
-      .select(col(idCol).as("_id"), explode(col("_b")).as("bs"))
+      // explode_outer, NOT explode: the band array is fixed-length (never
+      // empty), and plain explode makes InferFiltersFromGenerate push a
+      // size(_b) > 0 filter below the projections with the WHOLE band
+      // expression (md5 pass included) inlined into it — every row would
+      // pay the digest twice. PLANS.md gates the single-md5 shape.
+      .select(col(idCol).as("_id"), explode_outer(col("_b")).as("bs"))
       .select(col("_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = banded.groupBy(col("band"), col("sig"))

@@ -130,8 +130,16 @@ case class NormTable(fields: Array[String], bytes: Array[Array[Byte]]) {
   *  - SHUFFLE: posting runs cogrouped with docstats BY SALT RANGE; unbounded
   *    corpus size, one shuffle of the (tiny) term-filtered runs. The scale
   *    path when broadcast norms no longer fit.
+  *
+  * Deliberately NOT Serializable: the searcher holds multi-MB driver state
+  * (the resolved dictionary map, the posting-run cache), and a lambda that
+  * accidentally captures `this` would silently ship all of it in EVERY
+  * task binary (measured 7.4 MB/job at a 200k-doc index — it more than
+  * tripled distributed query latency). Executor-side closures may reference
+  * only local vals and [[Searcher]]'s static helpers; a regression now
+  * fails loudly with NotSerializableException instead.
   */
-class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
+class Searcher(spark: SparkSession, indexDir: String) {
   import spark.implicits._
 
   val meta: IndexMeta = IndexMeta.fromProps(new Snapshot(indexDir).readProps())
@@ -188,10 +196,6 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
       bc = liveBroadcasts.poll()
     }
   }
-
-  private def deletedFn(ts: Array[Long]): Long => Boolean =
-    if (ts.isEmpty) _ => false
-    else d => java.util.Arrays.binarySearch(ts, d) >= 0
 
   /** Dense norms broadcast once per searcher. */
   lazy val normsBc: Broadcast[NormTable] = track {
@@ -302,7 +306,7 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
         if (postings <= DriverKernelMaxPostings) {
           val nt = normsBc.value // local value; no broadcast needed on driver
           val runs = fetchRuns(idfMap.keySet)
-          val del = deletedFn(tombstonesBc.value)
+          val del = Searcher.deletedFn(tombstonesBc.value)
           val localHits = runs.groupBy(_.salt).valuesIterator.flatMap { rs =>
             Kernel.scoreSalt(rs, (fi, d) => nt.quantLen(fi, d),
               cls, fieldArr, idfMap, avgLen, minMatch, k, del)
@@ -316,7 +320,7 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
             .flatMapGroups { (_, it) =>
               val nt = bc.value
               Kernel.scoreSalt(it.toArray, (fi, d) => nt.quantLen(fi, d),
-                cls, fieldArr, idfMap, avgLen, minMatch, k, deletedFn(tsBc.value))
+                cls, fieldArr, idfMap, avgLen, minMatch, k, Searcher.deletedFn(tsBc.value))
             }
             .collect()
           merge(localHits, k)
@@ -327,8 +331,11 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
   /** Batched retrieval — the amortized-throughput shape for batch workloads:
     * ONE Spark job fetches every cache-missing term across the whole batch,
     * then each query runs the standard strategy (driver-local queries become
-    * pure cache hits, so per-query marginal cost is just the kernel). Results
-    * are identical to calling [[search]] per query.
+    * pure cache hits, so per-query marginal cost is just the kernel), fanned
+    * out over [[Searcher.kernelPool]] — the kernels are independent
+    * CPU-bound scorers, so batch throughput scales with driver cores (every
+    * shared structure is concurrent: run cache, LRU dict cache, counters).
+    * Results are identical to calling [[search]] per query, in order.
     */
   def searchMany(queries: Seq[String], k: Int,
                  fields: Seq[String] = DefaultFields): Seq[Array[Hit]] = {
@@ -338,7 +345,15 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
         else Set.empty[(String, String)]
     }.toSet
     if (prefetch.nonEmpty) fetchRuns(prefetch)
-    queries.map(q => searchBroadcast(q, k, fields))
+    if (queries.lengthCompare(1) <= 0) queries.map(q => searchBroadcast(q, k, fields))
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = Searcher.kernelPool
+      Await.result(
+        Future.sequence(queries.map(q => Future(searchBroadcast(q, k, fields)))),
+        Duration.Inf)
+    }
   }
 
   /** Scale strategy: cogroup runs with docstats by salt range (no broadcast).
@@ -409,6 +424,29 @@ class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
       .orderBy($"rank")
       .select("rank", "docId", "score", "repo", "path", "commit", "lang", "sha")
   }
+}
+
+object Searcher {
+  /** Sorted-array tombstone membership — STATIC so executor lambdas that
+    * use it capture the (small) array, never the Searcher instance.
+    */
+  private[query] def deletedFn(ts: Array[Long]): Long => Boolean =
+    if (ts.isEmpty) _ => false
+    else d => java.util.Arrays.binarySearch(ts, d) >= 0
+
+  /** Shared bounded pool for [[Searcher.searchMany]]'s per-query kernel
+    * fan-out, sized to the driver's cores (the kernels are CPU-bound).
+    * Daemon threads — never blocks JVM exit.
+    */
+  private lazy val kernelPool: scala.concurrent.ExecutionContextExecutorService =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(2, Runtime.getRuntime.availableProcessors()),
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-searchmany")
+          t.setDaemon(true)
+          t
+        }))
 }
 
 /** The per-salt-range scoring kernel. Pure Scala over primitive arrays — the
