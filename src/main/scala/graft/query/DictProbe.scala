@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
   * driver — ~100 B each, so the default bound costs <= ~100 MB — while
   * repeat queries over RECENT terms stay probe-free (EngineSpec gates both).
   */
+// NOT Serializable (like Searcher): this class holds the multi-MB resolved
+// dictionary state — a closure accidentally capturing it must fail loudly,
+// never ship it in task binaries.
 final class DictProbe(spark: SparkSession, dictPath: String,
                       maxDriverTerms: Long = 1L << 22,
-                      val maxCacheTerms: Int = 1 << 20) extends Serializable {
+                      val maxCacheTerms: Int = 1 << 20) {
   import spark.implicits._
 
   private lazy val dictDF: DataFrame = spark.read.parquet(dictPath)
