@@ -284,6 +284,73 @@ object EngineQueries {
 
     "ix_facet" ->
       """SELECT lang, count(*) AS cnt FROM documents
-        |GROUP BY lang ORDER BY cnt DESC, lang""".stripMargin
+        |GROUP BY lang ORDER BY cnt DESC, lang""".stripMargin,
+
+    // Per-row sha256 integrity: the oracle asserts the INVARIANT — every
+    // distinct source sha must appear in docstats, so both counts equal the
+    // source-side distinct-sha count. Any lost/corrupted document makes
+    // Spark's n_common_shas diverge and the hash check fail.
+    "ix_integrity" ->
+      """SELECT count(DISTINCT sha256(text)) AS n_src_shas,
+        |  count(DISTINCT sha256(text)) AS n_common_shas FROM documents""".stripMargin,
+
+    // SimHash-64 ported to DuckDB bit for bit: Java's wrapping hi<<32 is
+    // (hi_signed * 2^32 + lo); BIGINT >> is arithmetic in both engines;
+    // 1<<63 spelled as long-min. Gates the native Catalyst expression
+    // cross-engine (it is spec-gated bit-identical to the column form).
+    "q_simhash_native" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_slice(string_split_regex(lower(trim(text)), '\s+'), 1, 128) AS toks
+        |  FROM documents WHERE doc_id < 100
+        |), h AS (
+        |  SELECT doc_id, list_transform(toks, t ->
+        |    (('0x' || substr(md5(t), 1, 8))::BIGINT
+        |       - CASE WHEN ('0x' || substr(md5(t), 1, 8))::BIGINT >= 2147483648 THEN 4294967296 ELSE 0 END)
+        |      * 4294967296 + ('0x' || substr(md5(t), 9, 8))::BIGINT) AS hs
+        |  FROM w
+        |)
+        |SELECT doc_id,
+        |  list_sum(list_transform(generate_series(0, 63), b ->
+        |    CASE WHEN list_sum(list_transform(hs, x ->
+        |        CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+        |      THEN CASE WHEN b = 63 THEN (-9223372036854775807 - 1) ELSE (1::BIGINT << b) END
+        |      ELSE 0 END))::BIGINT AS sig
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // SimHash banded candidate pairs (maxHamming=16 -> 17 bands, widths
+    // 13x4 + 4x3 bits): same pigeonhole layout as Dedup.simhashPairs.
+    "q_simhash_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_slice(string_split_regex(lower(trim(text)), '\s+'), 1, 128) AS toks
+        |  FROM documents WHERE doc_id < 200
+        |), h AS (
+        |  SELECT doc_id, list_transform(toks, t ->
+        |    (('0x' || substr(md5(t), 1, 8))::BIGINT
+        |       - CASE WHEN ('0x' || substr(md5(t), 1, 8))::BIGINT >= 2147483648 THEN 4294967296 ELSE 0 END)
+        |      * 4294967296 + ('0x' || substr(md5(t), 9, 8))::BIGINT) AS hs
+        |  FROM w
+        |), sigs AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(generate_series(0, 63), b ->
+        |      CASE WHEN list_sum(list_transform(hs, x ->
+        |          CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+        |        THEN CASE WHEN b = 63 THEN (-9223372036854775807 - 1) ELSE (1::BIGINT << b) END
+        |        ELSE 0 END))::BIGINT AS sig
+        |  FROM h
+        |), bands AS (
+        |  SELECT doc_id, sig,
+        |    unnest(generate_series(0, 16)) AS band,
+        |    unnest(list_transform(generate_series(0, 16), i ->
+        |      (sig >> (CASE WHEN i < 13 THEN i * 4 ELSE 52 + (i - 13) * 3 END))
+        |        & (CASE WHEN i < 13 THEN 15 ELSE 7 END))) AS key
+        |  FROM sigs
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS a, l.sig AS siga, r.doc_id AS b, r.sig AS sigb
+        |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+        |  WHERE l.doc_id < r.doc_id
+        |)
+        |SELECT a, b, bit_count(xor(siga, sigb))::INT AS hamming
+        |FROM cand WHERE bit_count(xor(siga, sigb)) <= 16
+        |ORDER BY hamming, a, b""".stripMargin
   )
 }
