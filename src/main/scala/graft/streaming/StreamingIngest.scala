@@ -67,6 +67,27 @@ object StreamingIngest {
       .start()
   }
 
+  /** The streaming arm of [[graft.index.IndexOps.maintain]]'s policy: when
+    * more than `maxDeltas` committed delta segments have accreted, fold
+    * them (plus the optional base segment) into ONE fresh segment under
+    * `outDir/compact-<firstBatch>-<lastBatch>` via mergeSegments — the
+    * source corpus is never re-read. Returns the compacted dir when it ran
+    * (readers swap their MultiSearcher to Seq(compacted); old dirs are
+    * retired by the caller once unpinned — commit-gated as always), None
+    * while the policy declines.
+    */
+  def maintainDeltas(spark: SparkSession, outDir: String, base: Option[String] = None,
+                     cfg: IndexConfig = IndexConfig(), maxDeltas: Int = 4): Option[String] = {
+    val deltas = committedDeltas(outDir)
+    if (deltas.size <= maxDeltas) None
+    else {
+      def batchId(d: String) = d.split("/").last.stripPrefix("delta-")
+      val target = s"$outDir/compact-${batchId(deltas.head)}-${batchId(deltas.last)}"
+      graft.index.IndexOps.mergeSegments(spark, base.toSeq ++ deltas, target, cfg)
+      Some(target)
+    }
+  }
+
   /** List committed delta segment dirs (readers see only committed batches). */
   def committedDeltas(outDir: String): Seq[String] = {
     val root = new java.io.File(outDir)

@@ -41,6 +41,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits.nonEmpty)
   }
 
+  test("maintainDeltas folds accreted delta segments, scores unchanged") {
+    import graft.index.IndexBuilder
+    val cfg = IndexConfig(buckets = 8, blockSize = 64, saltRange = 256,
+      shufflePartitions = 4)
+    val out = java.nio.file.Files.createTempDirectory("graftmaintstream").toString
+    // three committed "streamed" deltas of 100 docs each
+    (0 until 3).foreach { b =>
+      val docs = spark.range(b * 100L, (b + 1) * 100L).as[Long]
+        .map(i => CodeCorpus.genDoc(i, 5))
+      IndexBuilder.build(spark, docs, s"$out/delta-$b", cfg)
+    }
+    // policy declines at the default threshold, triggers at maxDeltas=2
+    assert(StreamingIngest.maintainDeltas(spark, out, cfg = cfg).isEmpty)
+    val compacted = StreamingIngest.maintainDeltas(spark, out, cfg = cfg, maxDeltas = 2)
+    assert(compacted.nonEmpty)
+    assert(compacted.get.endsWith("compact-0-2"))
+    val merged = spark.read.parquet(s"${compacted.get}/docstats")
+    assert(merged.count() == 300)
+    // one segment scores exactly like the multi-segment view it replaced
+    def shaOf(d: String): Map[Long, String] =
+      spark.read.parquet(s"$d/docstats").select("docId", "sha")
+        .as[(Long, String)].collect().toMap
+    val multi = new graft.query.MultiSearcher(spark,
+      StreamingIngest.committedDeltas(out).filterNot(_.contains("compact")))
+    val single = new Searcher(spark, compacted.get)
+    val singleSha = shaOf(compacted.get)
+    Seq("buffer", "def class import return").foreach { q =>
+      val m = multi.search(q, 10).toSeq.map(_.score)
+      val s = single.search(q, 10).toSeq.map(h => (singleSha(h.docId), h.score))
+      assert(s.map(_._2) == m, s"[$q] score sequence")
+    }
+    multi.close()
+  }
+
   test("error budget aborts the stream (importer.py:323-329 analog)") {
     val src = java.nio.file.Files.createTempDirectory("graftstreamsrc2").toString
     val out = java.nio.file.Files.createTempDirectory("graftstreamout2").toString
