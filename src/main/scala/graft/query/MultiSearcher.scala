@@ -199,6 +199,25 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     top.sortedHits
   }
 
+  /** Batched multi-segment retrieval: queries fan out on the QUERY pool
+    * ([[Searcher.kernelPool]]) while each query's segments fan out on the
+    * SEGMENT pool — two distinct pools, and segment tasks never block on
+    * the query pool, so the nested blocking is acyclic (no thread-pool
+    * deadlock). Results are order-preserved and identical to calling
+    * [[search]] per query.
+    */
+  def searchMany(queries: Seq[String], k: Int,
+                 fields: Seq[String] = DefaultFields): Seq[Array[Hit]] =
+    if (queries.lengthCompare(1) <= 0) queries.map(q => search(q, k, fields))
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = Searcher.kernelPool
+      Await.result(
+        Future.sequence(queries.map(q => Future(search(q, k, fields)))),
+        Duration.Inf)
+    }
+
   /** Run thunks on the shared bounded pool; single-element lists run inline
     * (no pool hop for the one-segment case). Failures propagate.
     */

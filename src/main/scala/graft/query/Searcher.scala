@@ -438,7 +438,7 @@ object Searcher {
     * fan-out, sized to the driver's cores (the kernels are CPU-bound).
     * Daemon threads — never blocks JVM exit.
     */
-  private lazy val kernelPool: scala.concurrent.ExecutionContextExecutorService =
+  private[query] lazy val kernelPool: scala.concurrent.ExecutionContextExecutorService =
     scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(
         math.max(2, Runtime.getRuntime.availableProcessors()),

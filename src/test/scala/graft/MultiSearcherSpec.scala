@@ -118,6 +118,18 @@ class MultiSearcherSpec extends AnyFunSuite {
       "shuffle path must touch neither driver runs nor dense norms")
   }
 
+  test("searchMany: batched results identical to per-query search, in order") {
+    val multi = new MultiSearcher(spark, Seq(segADir, segBDir))
+    val batch = Seq("buffer", "def class import return", "buffer sort merge",
+      "binary search tree implementation", "café", "buffer", "nosuchtermxyz")
+    val batched = multi.searchMany(batch, 10)
+    val oneByOne = batch.map(q => multi.search(q, 10))
+    batched.zip(oneByOne).zip(batch).foreach { case ((b, s), q) =>
+      assert(b.toSeq == s.toSeq, s"[$q]")
+    }
+    multi.close()
+  }
+
   test("close() releases per-segment broadcasts; next generation rebuilds cleanly") {
     // generation 1: searcher over (A, B) builds norm + tombstone broadcasts
     val gen1 = new MultiSearcher(spark, Seq(segADir, segBDir))
