@@ -149,17 +149,23 @@ object Bench {
     }
     sm.foreach(_.report(s"build nDocs=$nDocs cores=$cores"))
     val searcher = new Searcher(spark, out)
-    // warm-up once (JIT + parquet footers), then measure per-query latency
+    // warm-up once (JIT + parquet footers), then measure per-query latency.
+    // First pass is COLD per term (each query's first resolution pays the
+    // pushed-filter fetch job); the second pass is the WARM regime (run
+    // cache + dict cache serve repeats) — both reported, they answer
+    // different capacity questions.
     searcher.search(BenchQueries.head, 10)
     val lats = BenchQueries.map { q => time(searcher.search(q, 10))._2 }
     val sorted = lats.sorted
     val p50 = sorted(sorted.length / 2)
+    val warm = BenchQueries.map { q => time(searcher.search(q, 10))._2 }.sorted
 
     val base = Map(
       "ix_build_sec" -> tBuild,
       "ix_build_docs_per_sec" -> nDocs / tBuild,
       "ix_query_p50_ms" -> p50 * 1000,
-      "ix_query_max_ms" -> sorted.last * 1000)
+      "ix_query_max_ms" -> sorted.last * 1000,
+      "ix_query_p50_ms_warm" -> warm(warm.length / 2) * 1000)
     if (!full) {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(out)).deleteRecursively()
