@@ -149,7 +149,12 @@ object Dedup {
   def minhashC(b: Int): Long = (2246822519L * (b + 1)) % 2147483647L
 
   /** 32-bit-per-shingle hash array: ONE md5 per shingle (top 8 hex chars),
-    * reused by every band. Materialize this as its OWN column before calling
+    * reused by every band. 32 bits is enough at ANY corpus size: minhash
+    * accuracy depends on collisions within one PAIR's shingle union (bounded
+    * by document length, not corpus size) — ~10^4 shingles/pair gives ~1%
+    * chance of any collision (birthday, 10^8/2^33), a negligible Jaccard
+    * perturbation; band independence is unaffected otherwise.
+    * Materialize this as its OWN column before calling
     * [[minhashBandsFromHashes]] — the band expressions reference it `bands`
     * times, which is exactly what stops CollapseProject from inlining the
     * digest work back into each band (multi-referenced non-cheap aliases
