@@ -148,6 +148,32 @@ class EngineSpec extends AnyFunSuite {
     assert(dict.dfOf(Set(key)).getOrElse(key, 0L) > 0)
   }
 
+  test("DictProbe LRU stays correct under concurrent probes (searchMany regime)") {
+    meta
+    val dict = new graft.query.DictProbe(spark, s"$tmp/dictionary",
+      maxDriverTerms = 0, maxCacheTerms = 64)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      // 64 threads race: a shared present term + per-thread absent terms —
+      // present resolutions must never be lost to concurrent eviction, the
+      // bound must hold, and nothing may deadlock with jobs issued in-probe
+      val futures = (0 until 64).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            val key = ("content", if (i % 3 == 0) "buffer" else s"lru_c_$i")
+            dict.dfOf(Set(key)).getOrElse(key, 0L)
+          }
+        })
+      }
+      val results = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      results.zipWithIndex.foreach { case (df, i) =>
+        if (i % 3 == 0) assert(df > 0, s"thread $i lost the present term's df")
+        else assert(df == 0L, s"thread $i resolved a df for an absent term")
+      }
+      assert(dict.cacheSize <= 64, s"bound violated: ${dict.cacheSize}")
+    } finally pool.shutdown()
+  }
+
   test("NormsMaxDocs=0 auto-routes to the shuffle strategy, identical answers") {
     meta // force the index build
     val big = new Searcher(spark, tmp)
