@@ -98,6 +98,31 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Element-wise minimum across repeated per-query latency passes — the
+    * load-robust estimator for sub-second metrics (VERDICT r4 "what's wrong"
+    * #1: one background-load spike in a single-pass record distorted every
+    * percentile 5x). The min of 3 passes answers the capacity question
+    * ("what does this query cost on this engine") rather than "what did the
+    * box happen to be doing".
+    */
+  def minPerQuery(passes: Seq[Seq[Double]]): Seq[Double] =
+    passes.transpose.map(_.min)
+
+  /** Fixed single-thread spin workload (~0.2 s quiet-box): a machine-load
+    * sentinel emitted into the bench JSON so a contaminated record is
+    * detectable post-hoc — engine metrics can regress for real reasons, but
+    * this number moves ONLY with background load/CPU contention.
+    */
+  def spinSentinelMs(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 150000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    val dt = (System.nanoTime() - t0) / 1e6
+    if (x == 42L) Console.err.println("sentinel") // defeat DCE
+    dt
+  }
+
   /** Every query here RETURNS HITS on the synthetic corpus (rounds 1-3
     * carried three queries whose terms don't exist as bare tokens — the
     * vocabulary is compound identifiers + keywords — so they short-circuited
@@ -148,25 +173,32 @@ object Bench {
           chunkDocs = sys.env.get("SPARK_GRAFT_CHUNK_DOCS").map(_.toInt).getOrElse(16384)))
     }
     sm.foreach(_.report(s"build nDocs=$nDocs cores=$cores"))
+    // Every sub-second query metric below is the per-query MIN of 3 passes
+    // (load-robust; see [[minPerQuery]]); the sentinel pins machine load.
+    val sentinelMs = spinSentinelMs()
     val searcher = new Searcher(spark, out)
     // warm-up once (JIT + parquet footers), then measure per-query latency.
-    // First pass is COLD per term (each query's first resolution pays the
-    // pushed-filter fetch job); the second pass is the WARM regime (run
-    // cache + dict cache serve repeats) — both reported, they answer
-    // different capacity questions.
+    // COLD regime: each of 3 FRESH searchers pays every term's first
+    // pushed-filter resolution (fresh run/dict caches per pass). WARM
+    // regime: repeats on one searcher (caches serve) — both reported, they
+    // answer different capacity questions.
     searcher.search(BenchQueries.head, 10)
-    val lats = BenchQueries.map { q => time(searcher.search(q, 10))._2 }
-    val sorted = lats.sorted
-    val p50 = sorted(sorted.length / 2)
-    val warm = BenchQueries.map { q => time(searcher.search(q, 10))._2 }.sorted
+    val coldSearchers = searcher +: Seq.fill(2)(new Searcher(spark, out))
+    val cold = minPerQuery(coldSearchers.map(sr =>
+      BenchQueries.map(q => time(sr.search(q, 10))._2)))
+    val sorted = cold.sorted
+    val warm = minPerQuery(Seq.fill(3)(
+      BenchQueries.map(q => time(searcher.search(q, 10))._2))).sorted
 
     val base = Map(
       "ix_build_sec" -> tBuild,
       "ix_build_docs_per_sec" -> nDocs / tBuild,
-      "ix_query_p50_ms" -> p50 * 1000,
+      "ix_query_p50_ms" -> sorted(sorted.length / 2) * 1000,
       "ix_query_max_ms" -> sorted.last * 1000,
-      "ix_query_p50_ms_warm" -> warm(warm.length / 2) * 1000)
+      "ix_query_p50_ms_warm" -> warm(warm.length / 2) * 1000,
+      "ix_spin_sentinel_ms" -> sentinelMs)
     if (!full) {
+      coldSearchers.foreach(_.close())
       import scala.reflect.io.Directory
       new Directory(new java.io.File(out)).deleteRecursively()
       new Directory(new java.io.File(srcTable)).deleteRecursively()
@@ -176,27 +208,39 @@ object Bench {
     // ---- scale-path strategies: at the 10^12-doc target the driver-local
     // kernel does not exist — these distributed shapes are the ONLY query
     // paths, so they get the same first-class measurement (VERDICT r3 #1).
+    // The distributed paths never cache runs, so repeat passes on one
+    // searcher re-run the full job — min-of-3 is load filtering, not cache
+    // warming.
     def p50of(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
     // forced-distributed broadcast kernel: runs stay executor-side
     // (flatMapGroups by salt), norms read from the broadcast
     val dist = new Searcher(spark, out)
     dist.DriverKernelMaxPostings = 0
     dist.search(BenchQueries.head, 10)
-    val distLats = BenchQueries.map(q => time(dist.search(q, 10))._2)
+    val distLats = minPerQuery(Seq.fill(3)(
+      BenchQueries.map(q => time(dist.search(q, 10))._2)))
     // beyond-norms shuffle strategy: postings cogrouped with docstats by
     // salt range — unbounded corpus size, nothing broadcast
     val shuf = new Searcher(spark, out)
     shuf.NormsMaxDocs = 0
     shuf.search(BenchQueries.head, 10)
-    val shufLats = BenchQueries.map(q => time(shuf.search(q, 10))._2)
+    val shufLats = minPerQuery(Seq.fill(3)(
+      BenchQueries.map(q => time(shuf.search(q, 10))._2)))
 
-    // batched retrieval throughput: 64 distinct two-term queries through
-    // searchMany (ONE prefetch job for the batch, then per-query kernels)
+    // batched retrieval throughput: 64 distinct two-term queries. Driver
+    // regime: searchMany (ONE prefetch job, then per-query driver kernels).
+    // Scale regime: searchManyDistributed — the whole batch in ONE Spark
+    // job (at the 10^12-doc target this is the only batch shape that
+    // exists; compare against 1000/p50_distributed for the amortization).
     val words = BenchQueries.flatMap(_.split(" ")).distinct
     val batch = (0 until 64).map(i =>
       s"${words(i % words.size)} ${words((i * 7 + 3) % words.size)}")
     val batcher = new Searcher(spark, out)
-    val (_, tBatch) = time(batcher.searchMany(batch, 10))
+    val tBatch = Seq.fill(3)(time(batcher.searchMany(batch, 10))._2).min
+    val batcherD = new Searcher(spark, out)
+    batcherD.searchManyDistributed(batch.take(4), 10) // warm plan/job path
+    val tBatchDist = Seq.fill(3)(
+      time(batcherD.searchManyDistributed(batch, 10))._2).min
 
     // MultiSearcher over base + 4 delta segments — the typical long-running
     // upsert deployment (one big base, small deltas; router picks a strategy
@@ -214,8 +258,11 @@ object Bench {
     }
     val multi = new graft.query.MultiSearcher(spark, out +: deltaDirs)
     multi.search(BenchQueries.head, 10)
-    val multiLats = BenchQueries.map(q => time(multi.search(q, 10))._2)
+    val multiLats = minPerQuery(Seq.fill(3)(
+      BenchQueries.map(q => time(multi.search(q, 10))._2)))
     multi.close()
+    (coldSearchers ++ Seq(dist, shuf, batcher, batcherD)).foreach(_.close())
+    val sentinelEndMs = spinSentinelMs()
 
     import scala.reflect.io.Directory
     new Directory(new java.io.File(out)).deleteRecursively()
@@ -227,7 +274,9 @@ object Bench {
       "ix_query_p50_ms_shuffle" -> p50of(shufLats) * 1000,
       "ix_query_max_ms_shuffle" -> shufLats.max * 1000,
       "ix_multisearch_p50_ms" -> p50of(multiLats) * 1000,
-      "ix_batch_qps" -> batch.size / tBatch)
+      "ix_batch_qps" -> batch.size / tBatch,
+      "ix_batch_qps_distributed" -> batch.size / tBatchDist,
+      "ix_spin_sentinel_end_ms" -> sentinelEndMs)
   }
 
   def main(args: Array[String]): Unit = {

@@ -36,11 +36,21 @@ final class DictProbe(spark: SparkSession, dictPath: String,
   private lazy val vocabSize: Long =
     if (maxDriverTerms <= 0) Long.MaxValue else dictDF.count()
 
+  /** Entries of the collected-full map, 0 until/unless it materializes. */
+  @volatile private var collectedTerms: Long = 0L
+
   private lazy val full: Option[Map[(String, String), Long]] =
-    if (vocabSize <= maxDriverTerms)
-      Some(dictDF.select($"field", $"term", $"df").collect()
-        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap)
-    else None
+    if (vocabSize <= maxDriverTerms) {
+      val m = dictDF.select($"field", $"term", $"df").collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      collectedTerms = m.size
+      Some(m)
+    } else None
+
+  /** Driver-resident resolved entries right now (collected map + LRU) —
+    * the quantity [[graft.query.MultiSearcher]] budgets globally.
+    */
+  private[graft] def residentEntries: Long = collectedTerms + cacheSize
 
   /** Access-order LinkedHashMap = true LRU; eldest entry drops past the
     * bound. Guarded by its own monitor — driver-side only, contention-free.
@@ -57,6 +67,16 @@ final class DictProbe(spark: SparkSession, dictPath: String,
   /** Probe jobs issued (tests assert repeat queries stay at 0 extra). */
   private[graft] val probes = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** In-flight probes keyed by their missing-key set: concurrent calls that
+    * miss on the SAME keys (the hot-term stampede under searchMany's
+    * concurrency) share one Spark job instead of issuing duplicates.
+    * Results are idempotent, so this is purely a cost dedup — overlapping
+    * but unequal key sets still probe independently.
+    */
+  private val inFlight = new java.util.concurrent.ConcurrentHashMap[
+    Set[(String, String)],
+    java.util.concurrent.CompletableFuture[Map[(String, String), Long]]]()
+
   /** df per key; keys with no dictionary entry are absent from the result. */
   def dfOf(keys: Set[(String, String)]): Map[(String, String), Long] = full match {
     case Some(d) => keys.iterator.flatMap(k => d.get(k).map(k -> _)).toMap
@@ -71,18 +91,27 @@ final class DictProbe(spark: SparkSession, dictPath: String,
       val found: Map[(String, String), Long] =
         if (missing.isEmpty) Map.empty
         else {
-          probes.incrementAndGet()
-          val terms = missing.map(_._2).toSeq
-          val fields = missing.map(_._1).toSeq
-          val f = dictDF
-            .filter($"term".isin(terms: _*) && $"field".isin(fields: _*))
-            .select($"field", $"term", $"df")
-            .collect()
-            .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
-          cache.synchronized {
-            missing.foreach(k => cache.put(k, Long.box(f.getOrElse(k, 0L))))
-          }
-          f
+          val fut = new java.util.concurrent.CompletableFuture[Map[(String, String), Long]]()
+          val prior = inFlight.putIfAbsent(missing, fut)
+          if (prior != null) prior.join() // the racer's job resolves our keys too
+          else
+            try {
+              probes.incrementAndGet()
+              val terms = missing.map(_._2).toSeq
+              val fields = missing.map(_._1).toSeq
+              val f = dictDF
+                .filter($"term".isin(terms: _*) && $"field".isin(fields: _*))
+                .select($"field", $"term", $"df")
+                .collect()
+                .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+              cache.synchronized {
+                missing.foreach(k => cache.put(k, Long.box(f.getOrElse(k, 0L))))
+              }
+              fut.complete(f)
+              f
+            } catch {
+              case t: Throwable => fut.completeExceptionally(t); throw t
+            } finally inFlight.remove(missing, fut)
         }
       // answers come from THIS call's cache hits + probe result, so a bound
       // smaller than one query's key set can never lose a resolved df

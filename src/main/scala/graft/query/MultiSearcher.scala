@@ -41,7 +41,15 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     * (one docstats read either way; MultiSearcherSpec gates the count).
     */
   private final class Segment(val dir: String, val meta: IndexMeta, val offset: Long) {
-    val dict = new DictProbe(spark, s"$dir/dictionary", DictionaryMaxDriverTerms)
+    // driver dictionary memory is budgeted GLOBALLY across the searcher: each
+    // segment gets an equal slice of the collect threshold and the LRU bound,
+    // so a 20-segment deployment holds at most the SAME resident entry count
+    // as a single-segment one (MultiSearcherSpec gates the sum)
+    // lazy: the budget knobs are "set before first use", so the probe must
+    // not capture them at searcher construction
+    lazy val dict = new DictProbe(spark, s"$dir/dictionary",
+      DictionaryMaxDriverTerms / segmentDirs.size,
+      math.max(1, DictionaryMaxCacheTerms / segmentDirs.size))
     lazy val tombstoneCount: Long = graft.index.Tombstones.count(spark, dir)
     lazy val tombstonesBc: Broadcast[Array[Long]] = track(
       spark.sparkContext.broadcast(graft.index.Tombstones.loadSorted(spark, dir)))
@@ -78,15 +86,29 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
   def close(): Unit = {
     var bc = liveBroadcasts.poll()
     while (bc != null) {
-      try bc.destroy() catch { case _: Throwable => }
+      Searcher.destroyQuietly(bc)
       bc = liveBroadcasts.poll()
     }
   }
 
   val DefaultFields: Seq[String] = Seq("content", "path", "repo")
 
-  /** Same semantics as Searcher.DictionaryMaxDriverTerms; set before use. */
+  /** GLOBAL driver-collect threshold, split evenly across segments (each
+    * segment collects its dictionary only if its vocab fits its slice).
+    * Same semantics as Searcher.DictionaryMaxDriverTerms; set before use.
+    */
   var DictionaryMaxDriverTerms: Long = 1L << 22
+
+  /** GLOBAL bound on LRU-cached probe results, split evenly across segments
+    * ([[DictProbe]]'s per-instance bound is this / segment count).
+    */
+  var DictionaryMaxCacheTerms: Int = 1 << 20
+
+  /** Resident driver dictionary entries across ALL segments (collected maps
+    * plus LRU caches) — spec-gated ≤ the global bounds regardless of
+    * segment count.
+    */
+  private[graft] def residentDictEntries: Long = segments.map(_.dict.residentEntries).sum
 
   /** Same semantics as [[Searcher.DriverKernelMaxPostings]]: a segment whose
     * matched posting volume exceeds this runs the distributed kernel instead
@@ -128,10 +150,10 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     }
   }
 
-  val totalDocs: Long = segments.map(_.meta.nDocs).sum
+  lazy val totalDocs: Long = segments.map(_.meta.nDocs).sum
 
   /** Global average field length: length sums merged across segments. */
-  val globalAvgLen: Map[String, Double] = {
+  lazy val globalAvgLen: Map[String, Double] = {
     val sums = mutable.Map.empty[String, Double]
     segments.foreach { s =>
       s.meta.avgLen.foreach { case (f, avg) =>
@@ -218,6 +240,143 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
         Duration.Inf)
     }
 
+  /** Bulk retrieval for the scale regime — ONE Spark job per segment scores
+    * the whole batch (the [[Searcher.searchManyDistributed]] analog).
+    * [[searchMany]] pays each segment's job floor once per query; here a
+    * batch of B queries over S segments costs at most S jobs (plus zero for
+    * segments whose batch posting volume fits the driver kernel), not B×S:
+    * each segment's job carries the union of the batch's terms, runs the
+    * kernel once per query per salt group ([[Searcher.scoreBatch]]) and
+    * emits (queryIdx, localHit); the driver re-bases docIds by segment
+    * offset and merges per-query top-k. Global BM25 stats (N, df, avgLen)
+    * are identical to [[search]]'s, so results are bit-identical to calling
+    * [[search]] per query, in order (BatchSearchSpec gates all strategy
+    * routes).
+    */
+  def searchManyDistributed(queries: Seq[String], k: Int,
+                            fields: Seq[String] = DefaultFields): Seq[Array[Hit]] = {
+    val parsed = queries.map(q => QueryPlan.clauses(q, fields))
+    val allNeeded = parsed.iterator.flatMap(_.flatMap(_.perField.toSeq)).toSet
+    if (allNeeded.isEmpty) return queries.map(_ => Array.empty[Hit])
+    // ONE batched df resolution per segment (probe- or driver-cached), in
+    // parallel — same resolution the per-query path would do per query
+    val perSegDf = awaitAll(segments.map(seg => () => seg.dict.dfOf(allNeeded)))
+    val globalDfMap = allNeeded.iterator
+      .map(k2 => k2 -> perSegDf.map(_.getOrElse(k2, 0L)).sum).filter(_._2 > 0).toMap
+    val plans = parsed.zipWithIndex.flatMap { case (cls, qi) =>
+      val idf = cls.iterator.flatMap(_.perField.toSeq).toSet.iterator
+        .flatMap { (k2: (String, String)) =>
+          globalDfMap.get(k2).map(df => k2 -> BM25.idf(totalDocs, df))
+        }.toMap
+      if (cls.isEmpty || idf.isEmpty) None
+      else Some(BatchPlan(qi, cls, idf, BM25.minShouldMatch(cls.length)))
+    }.toArray
+    if (plans.isEmpty) return queries.map(_ => Array.empty[Hit])
+    val allKeys = plans.iterator.flatMap(_.idfMap.keySet).toSet
+    val fieldArr = DefaultFields.toArray
+    val avg = globalAvgLen
+    val plansBc = spark.sparkContext.broadcast(plans)
+    val segTagged: Seq[Array[(Int, Hit)]] =
+      try awaitAll(segments.zip(perSegDf).map { case (seg, segDf) => () =>
+        val segKeys = allKeys.filter(k2 => segDf.getOrElse(k2, 0L) > 0)
+        if (segKeys.isEmpty) Array.empty[(Int, Hit)]
+        else {
+          val segPostings = segKeys.iterator.map(segDf).sum
+          val local: Array[(Int, Hit)] =
+            if (seg.meta.nDocs > NormsMaxDocs || seg.tombstoneCount > TombstonesMaxBroadcast)
+              batchSegmentShuffle(seg, plansBc, segKeys, fieldArr, avg, k)
+            else if (segPostings > DriverKernelMaxPostings)
+              batchSegmentDistributed(seg, plansBc, segKeys, fieldArr, avg, k)
+            else
+              batchSegmentDriver(seg, plans, segKeys, fieldArr, avg, k)
+          local.map { case (qi, h) => (qi, Hit(seg.offset + h.docId, h.score)) }
+        }
+      })
+      finally Searcher.destroyQuietly(plansBc)
+    val tops = Array.fill(queries.length)(new TopK(k))
+    segTagged.foreach(_.foreach { case (qi, h) => tops(qi).offer(h) })
+    tops.map(_.sortedHits).toSeq
+  }
+
+  /** Small batch-volume segments: one collect of the union runs, per-query
+    * kernels on the driver.
+    */
+  private def batchSegmentDriver(seg: Segment, plans: Array[BatchPlan],
+      segKeys: Set[(String, String)], fieldArr: Array[String],
+      avg: Map[String, Double], k: Int): Array[(Int, Hit)] = {
+    driverRunFetches.incrementAndGet()
+    val runs = filteredRuns(seg, segKeys).collect()
+    val lens = seg.normsBc.value
+    val del = deletedFn(seg.tombstonesBc.value)
+    runs.groupBy(_.salt).valuesIterator.flatMap { rs =>
+      Searcher.scoreBatch(rs, plans,
+        (fi, d) => SmallFloat.byte4ToInt(lens(fi)(d.toInt)), fieldArr, avg, k, del)
+    }.toArray
+  }
+
+  /** Big-postings segments: the batch's runs stay executor-side; one
+    * flatMapGroups job scores every query per salt group.
+    */
+  private def batchSegmentDistributed(seg: Segment, plansBc: Broadcast[Array[BatchPlan]],
+      segKeys: Set[(String, String)], fieldArr: Array[String],
+      avg: Map[String, Double], k: Int): Array[(Int, Hit)] = {
+    val bc = seg.normsBc
+    val tsBc = seg.tombstonesBc
+    Searcher.gatedJob {
+      filteredRuns(seg, segKeys)
+        .groupByKey(_.salt)
+        .flatMapGroups { (_, it) =>
+          val lens = bc.value
+          val ts = tsBc.value
+          val del: Long => Boolean =
+            if (ts.isEmpty) _ => false
+            else d => java.util.Arrays.binarySearch(ts, d) >= 0
+          Searcher.scoreBatch(it.toArray, plansBc.value,
+            (fi, d) => SmallFloat.byte4ToInt(lens(fi)(d.toInt)), fieldArr, avg, k, del)
+        }
+        .collect()
+    }
+  }
+
+  /** Beyond-norms segments: one cogroup job of the batch's runs with the
+    * segment's docstats by salt range — norms never materialize, tombstones
+    * excluded by the distributed anti-join, per-task memory bounded by one
+    * salt range of docstats exactly as [[searchSegmentShuffle]].
+    */
+  private def batchSegmentShuffle(seg: Segment, plansBc: Broadcast[Array[BatchPlan]],
+      segKeys: Set[(String, String)], fieldArr: Array[String],
+      avg: Map[String, Double], k: Int): Array[(Int, Hit)] = {
+    val stats = graft.index.Tombstones.exclude(spark, seg.dir,
+        spark.read.parquet(s"${seg.dir}/docstats")
+          .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))
+      .as[(Long, Int, Int, Int, Int)]
+    Searcher.gatedJob {
+      filteredRuns(seg, segKeys).groupByKey(_.salt)
+        .cogroup(stats.groupByKey(_._2)) { case (_, runIt, statIt) =>
+          val runs = runIt.toArray
+          if (runs.isEmpty) Iterator.empty
+          else {
+            val arr = statIt.toArray
+            val ids = new mutable.HashMap[Long, Int]()
+            arr.indices.foreach(ix => ids.update(arr(ix)._1, ix))
+            def ql(fi: Int, d: Long): Int = ids.get(d) match {
+              case Some(ix) =>
+                val len = fi match {
+                  case 0 => arr(ix)._3
+                  case 1 => arr(ix)._4
+                  case _ => arr(ix)._5
+                }
+                SmallFloat.quantizeLength(len)
+              case None => 1 // tombstoned: discarded via `deleted`
+            }
+            Searcher.scoreBatch(runs, plansBc.value, ql, fieldArr, avg, k,
+              d => !ids.contains(d))
+          }
+        }
+        .collect()
+    }
+  }
+
   /** Run thunks on the shared bounded pool; single-element lists run inline
     * (no pool hop for the one-segment case). Failures propagate.
     */
@@ -253,17 +412,19 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
       minMatch: Int, k: Int): Iterator[Hit] = {
     val bc = seg.normsBc
     val tsBc = seg.tombstonesBc
-    filteredRuns(seg, idfMap.keySet)
-      .groupByKey(_.salt)
-      .flatMapGroups { (_, it) =>
-        val lens = bc.value
-        val del =
-          if (tsBc.value.isEmpty) (_: Long) => false
-          else (d: Long) => java.util.Arrays.binarySearch(tsBc.value, d) >= 0
-        Kernel.scoreSalt(it.toArray, (fi, d) => SmallFloat.byte4ToInt(lens(fi)(d.toInt)),
-          cls, fieldArr, idfMap, avg, minMatch, k, del)
-      }
-      .collect().iterator
+    Searcher.gatedJob {
+      filteredRuns(seg, idfMap.keySet)
+        .groupByKey(_.salt)
+        .flatMapGroups { (_, it) =>
+          val lens = bc.value
+          val del =
+            if (tsBc.value.isEmpty) (_: Long) => false
+            else (d: Long) => java.util.Arrays.binarySearch(tsBc.value, d) >= 0
+          Kernel.scoreSalt(it.toArray, (fi, d) => SmallFloat.byte4ToInt(lens(fi)(d.toInt)),
+            cls, fieldArr, idfMap, avg, minMatch, k, del)
+        }
+        .collect()
+    }.iterator
   }
 
   /** Beyond-norms (or beyond-tombstone-broadcast) segments: cogroup runs
@@ -279,31 +440,33 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
         spark.read.parquet(s"${seg.dir}/docstats")
           .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))
       .as[(Long, Int, Int, Int, Int)]
-    filteredRuns(seg, idfMap.keySet).groupByKey(_.salt)
-      .cogroup(stats.groupByKey(_._2)) { case (_, runIt, statIt) =>
-        val runs = runIt.toArray
-        if (runs.isEmpty) Iterator.empty
-        else {
-          // memory bound: one salt range of docstats (<= saltRange rows,
-          // ~30 MB at the 2^20 default) per task, corpus-size independent
-          val arr = statIt.toArray
-          val ids = new mutable.HashMap[Long, Int]()
-          arr.indices.foreach(ix => ids.update(arr(ix)._1, ix))
-          def ql(fi: Int, d: Long): Int = ids.get(d) match {
-            case Some(ix) =>
-              val len = fi match {
-                case 0 => arr(ix)._3
-                case 1 => arr(ix)._4
-                case _ => arr(ix)._5
-              }
-              SmallFloat.quantizeLength(len)
-            case None => 1 // tombstoned: scored then discarded via `deleted`
+    Searcher.gatedJob {
+      filteredRuns(seg, idfMap.keySet).groupByKey(_.salt)
+        .cogroup(stats.groupByKey(_._2)) { case (_, runIt, statIt) =>
+          val runs = runIt.toArray
+          if (runs.isEmpty) Iterator.empty
+          else {
+            // memory bound: one salt range of docstats (<= saltRange rows,
+            // ~30 MB at the 2^20 default) per task, corpus-size independent
+            val arr = statIt.toArray
+            val ids = new mutable.HashMap[Long, Int]()
+            arr.indices.foreach(ix => ids.update(arr(ix)._1, ix))
+            def ql(fi: Int, d: Long): Int = ids.get(d) match {
+              case Some(ix) =>
+                val len = fi match {
+                  case 0 => arr(ix)._3
+                  case 1 => arr(ix)._4
+                  case _ => arr(ix)._5
+                }
+                SmallFloat.quantizeLength(len)
+              case None => 1 // tombstoned: scored then discarded via `deleted`
+            }
+            Kernel.scoreSalt(runs, ql, cls, fieldArr, idfMap, avg, minMatch, k,
+              d => !ids.contains(d))
           }
-          Kernel.scoreSalt(runs, ql, cls, fieldArr, idfMap, avg, minMatch, k,
-            d => !ids.contains(d))
         }
-      }
-      .collect().iterator
+        .collect()
+    }.iterator
   }
 
   /** Resolve a global docId back to (segmentDir, localDocId). */

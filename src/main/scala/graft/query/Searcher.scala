@@ -16,6 +16,14 @@ import scala.collection.mutable
   */
 case class Clause(word: String, perField: Map[String, String])
 
+/** One query's serializable plan within a batched retrieval job: index into
+  * the caller's query list, parsed clauses, resolved idf per (field, term),
+  * and the mm gate. Small by construction (a few strings and doubles per
+  * query term) — a whole batch ships to executors as one broadcast.
+  */
+case class BatchPlan(qi: Int, clauses: Array[Clause],
+                     idfMap: Map[(String, String), Double], minMatch: Int)
+
 object QueryPlan {
   /** Split on whitespace (Lucene query parser word boundaries), analyze each
     * word per field with that field's own chain (SURVEY.md §3.2 step 2). A
@@ -192,7 +200,7 @@ class Searcher(spark: SparkSession, indexDir: String) {
   def close(): Unit = {
     var bc = liveBroadcasts.poll()
     while (bc != null) {
-      try bc.destroy() catch { case _: Throwable => }
+      Searcher.destroyQuietly(bc)
       bc = liveBroadcasts.poll()
     }
   }
@@ -315,14 +323,16 @@ class Searcher(spark: SparkSession, indexDir: String) {
         } else {
           val bc = normsBc
           val tsBc = tombstonesBc
-          val localHits = filteredRuns(idfMap.keySet)
-            .groupByKey(_.salt)
-            .flatMapGroups { (_, it) =>
-              val nt = bc.value
-              Kernel.scoreSalt(it.toArray, (fi, d) => nt.quantLen(fi, d),
-                cls, fieldArr, idfMap, avgLen, minMatch, k, Searcher.deletedFn(tsBc.value))
-            }
-            .collect()
+          val localHits = Searcher.gatedJob {
+            filteredRuns(idfMap.keySet)
+              .groupByKey(_.salt)
+              .flatMapGroups { (_, it) =>
+                val nt = bc.value
+                Kernel.scoreSalt(it.toArray, (fi, d) => nt.quantLen(fi, d),
+                  cls, fieldArr, idfMap, avgLen, minMatch, k, Searcher.deletedFn(tsBc.value))
+              }
+              .collect()
+          }
           merge(localHits, k)
         }
     }
@@ -356,6 +366,91 @@ class Searcher(spark: SparkSession, indexDir: String) {
     }
   }
 
+  /** Bulk retrieval for the SCALE regime — ONE Spark job scores the whole
+    * batch. [[searchMany]] amortizes beautifully while the driver kernel
+    * exists, but at the 10^12-doc target every query is distributed and the
+    * per-query path pays the Spark job floor (~0.2-0.3 s) batch-size times.
+    * Here all queries' terms ride one term-filtered scan: runs group by salt
+    * as usual, and inside each salt group the kernel runs once PER QUERY
+    * over that query's terms' runs ([[Searcher.scoreBatch]]), emitting
+    * (queryIdx, Hit); the driver merges per-query top-k. Strategy follows
+    * the same router as [[search]]: broadcast norms while they fit, else
+    * the docstats cogroup (norms never materialize, tombstones excluded by
+    * the distributed anti-join).
+    *
+    * Results are identical to calling [[search]] per query, in order
+    * (BatchSearchSpec gates both shapes bit-for-bit). Cost model: the job
+    * reads the union of the batch's posting runs once — queries sharing
+    * head terms share the scan — so batch latency tracks total distinct
+    * posting volume plus ONE job floor, not batch size.
+    */
+  def searchManyDistributed(queries: Seq[String], k: Int,
+                            fields: Seq[String] = DefaultFields): Seq[Array[Hit]] = {
+    val planned = queries.map(q => plan(q, fields))
+    val plans = planned.zipWithIndex.collect {
+      case (Some((cls, idf, mm, _)), qi) => BatchPlan(qi, cls, idf, mm)
+    }.toArray
+    if (plans.isEmpty) return queries.map(_ => Array.empty[Hit])
+    val allKeys = plans.iterator.flatMap(_.idfMap.keySet).toSet
+    val fieldArr = DefaultFields.toArray
+    val avgLen = meta.avgLen
+    val kk = k
+    val plansBc = spark.sparkContext.broadcast(plans)
+    val tagged: Array[(Int, Hit)] =
+      try {
+        if (meta.nDocs <= NormsMaxDocs && tombstoneCount <= TombstonesMaxBroadcast) {
+          val bc = normsBc
+          val tsBc = tombstonesBc
+          Searcher.gatedJob {
+            filteredRuns(allKeys)
+              .groupByKey(_.salt)
+              .flatMapGroups { (_, it) =>
+                val nt = bc.value
+                Searcher.scoreBatch(it.toArray, plansBc.value,
+                  (fi, d) => nt.quantLen(fi, d), fieldArr, avgLen, kk,
+                  Searcher.deletedFn(tsBc.value))
+              }
+              .collect()
+          }
+        } else {
+          val stats = graft.index.Tombstones.exclude(spark, indexDir,
+              spark.read.parquet(s"$indexDir/docstats")
+                .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))
+            .as[(Long, Int, Int, Int, Int)]
+          Searcher.gatedJob {
+            filteredRuns(allKeys).groupByKey(_.salt)
+              .cogroup(stats.groupByKey(_._2)) { case (_, runIt, statIt) =>
+                val runs = runIt.toArray
+                if (runs.isEmpty) Iterator.empty
+                else {
+                  // same per-task memory bound as searchShuffle: one salt
+                  // range of docstats, corpus-size independent
+                  val arr = statIt.toArray
+                  val ids = new mutable.HashMap[Long, Int]()
+                  arr.indices.foreach(ix => ids.update(arr(ix)._1, ix))
+                  def ql(fi: Int, d: Long): Int = ids.get(d) match {
+                    case Some(ix) =>
+                      val len = fi match {
+                        case 0 => arr(ix)._3
+                        case 1 => arr(ix)._4
+                        case _ => arr(ix)._5
+                      }
+                      SmallFloat.quantizeLength(len)
+                    case None => 1 // tombstoned: discarded via `deleted`
+                  }
+                  Searcher.scoreBatch(runs, plansBc.value, ql, fieldArr,
+                    avgLen, kk, d => !ids.contains(d))
+                }
+              }
+              .collect()
+          }
+        }
+      } finally Searcher.destroyQuietly(plansBc)
+    val tops = Array.fill(queries.length)(new TopK(k))
+    tagged.foreach { case (qi, h) => tops(qi).offer(h) }
+    tops.map(_.sortedHits).toSeq
+  }
+
   /** Scale strategy: cogroup runs with docstats by salt range (no broadcast).
     * Tombstones here are FULLY DISTRIBUTED: the docstats side is anti-joined
     * against the tombstone table before the cogroup (both keyed by docId —
@@ -374,7 +469,7 @@ class Searcher(spark: SparkSession, indexDir: String) {
             spark.read.parquet(s"$indexDir/docstats")
               .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))
           .as[(Long, Int, Int, Int, Int)]
-        val localHits = filteredRuns(idfMap.keySet).groupByKey(_.salt)
+        val localHits = Searcher.gatedJob { filteredRuns(idfMap.keySet).groupByKey(_.salt)
           .cogroup(stats.groupByKey(_._2)) { case (_, runIt, statIt) =>
             val runs = runIt.toArray
             if (runs.isEmpty) Iterator.empty
@@ -400,6 +495,7 @@ class Searcher(spark: SparkSession, indexDir: String) {
             }
           }
           .collect()
+        }
         merge(localHits, k)
     }
   }
@@ -433,6 +529,72 @@ object Searcher {
   private[query] def deletedFn(ts: Array[Long]): Long => Boolean =
     if (ts.isEmpty) _ => false
     else d => java.util.Arrays.binarySearch(ts, d) >= 0
+
+  /** Destroy a broadcast, swallowing only NON-fatal failures (a broadcast
+    * already destroyed elsewhere, a stopped context); InterruptedException
+    * re-flags the thread so callers see the interrupt.
+    */
+  private[query] def destroyQuietly(bc: Broadcast[_]): Unit =
+    try bc.destroy() catch {
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) =>
+    }
+
+  /** Cap on CONCURRENT Spark-job-launching queries across all searchers in
+    * this JVM. [[Searcher.searchMany]]/[[MultiSearcher.searchMany]] fan
+    * queries across [[kernelPool]] (driver cores) — right for the CPU-bound
+    * driver kernels, but a batch whose queries fall through to a distributed
+    * strategy would otherwise launch up to ncores concurrent Spark ACTIONS, a
+    * thundering herd on the scheduler (head-term jobs serialize on executor
+    * slots anyway, so concurrency past a few buys nothing and inflates every
+    * job's wall time). Driver-kernel queries never touch this gate.
+    */
+  val MaxConcurrentDistributedQueries: Int =
+    math.min(4, math.max(2, Runtime.getRuntime.availableProcessors() / 8))
+  private val distributedGate =
+    new java.util.concurrent.Semaphore(MaxConcurrentDistributedQueries, true)
+  private val inFlightDistributed = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** High-water mark of concurrent gated job launches (test/telemetry). */
+  private[graft] val maxInFlightObserved = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run one distributed-query Spark action under the global gate. NOT for
+    * nested use — the body must not itself acquire the gate (it does not:
+    * gated sections are leaf `.collect()` actions).
+    */
+  private[query] def gatedJob[T](body: => T): T = {
+    distributedGate.acquire()
+    val n = inFlightDistributed.incrementAndGet()
+    maxInFlightObserved.updateAndGet(m => math.max(m, n))
+    try body
+    finally { inFlightDistributed.decrementAndGet(); distributedGate.release() }
+  }
+
+  /** Score every plan of a batch against ONE salt group's runs — the
+    * executor-side kernel of [[Searcher.searchManyDistributed]]. Runs are
+    * grouped by (field, term) once; each plan scores only its own terms'
+    * runs (plans sharing a term share the decoded group). STATIC: the
+    * flatMapGroups closure must capture plans/norm/tombstone broadcasts
+    * only, never a Searcher.
+    */
+  private[query] def scoreBatch(
+      runs: Array[PostingRun],
+      plans: Array[BatchPlan],
+      quantLenOf: (Int, Long) => Int,
+      fields: Array[String],
+      avgLen: Map[String, Double],
+      k: Int,
+      deleted: Long => Boolean): Iterator[(Int, Hit)] = {
+    if (runs.isEmpty) Iterator.empty
+    else {
+      val byKey = runs.groupBy(r => (r.field, r.term))
+      plans.iterator.flatMap { p =>
+        val qRuns = p.idfMap.keysIterator.flatMap(byKey.get).flatten.toArray
+        if (qRuns.isEmpty) Iterator.empty
+        else Kernel.scoreSalt(qRuns, quantLenOf, p.clauses, fields, p.idfMap,
+          avgLen, p.minMatch, k, deleted).map(h => (p.qi, h))
+      }
+    }
+  }
 
   /** Shared bounded pool for [[Searcher.searchMany]]'s per-query kernel
     * fan-out, sized to the driver's cores (the kernels are CPU-bound).

@@ -72,9 +72,17 @@ object StreamingIngest {
     * them (plus the optional base segment) into ONE fresh segment under
     * `outDir/compact-<firstBatch>-<lastBatch>` via mergeSegments — the
     * source corpus is never re-read. Returns the compacted dir when it ran
-    * (readers swap their MultiSearcher to Seq(compacted); old dirs are
-    * retired by the caller once unpinned — commit-gated as always), None
-    * while the policy declines.
+    * (or had already run), None while the policy declines.
+    *
+    * Reader contract: the compacted segment replaces `base` (when passed)
+    * plus the folded deltas — readers swap their MultiSearcher to
+    * `Seq(compacted)` only if base was merged, else `Seq(base, compacted)`;
+    * old dirs are retired by the caller once unpinned (commit-gated as
+    * always). RE-ENTRY SAFE: until the caller retires the folded delta
+    * dirs, a second invocation sees the same >maxDeltas deltas and would
+    * re-merge into the SAME target path — overwriting files a reader that
+    * already swapped may be scanning — so an already-committed target is
+    * returned as-is, never rewritten (LifecycleSpec drills this seam).
     */
   def maintainDeltas(spark: SparkSession, outDir: String, base: Option[String] = None,
                      cfg: IndexConfig = IndexConfig(), maxDeltas: Int = 4): Option[String] = {
@@ -83,8 +91,11 @@ object StreamingIngest {
     else {
       def batchId(d: String) = d.split("/").last.stripPrefix("delta-")
       val target = s"$outDir/compact-${batchId(deltas.head)}-${batchId(deltas.last)}"
-      graft.index.IndexOps.mergeSegments(spark, base.toSeq ++ deltas, target, cfg)
-      Some(target)
+      if (new Snapshot(target).currentId >= 0) Some(target)
+      else {
+        graft.index.IndexOps.mergeSegments(spark, base.toSeq ++ deltas, target, cfg)
+        Some(target)
+      }
     }
   }
 
