@@ -80,6 +80,13 @@ object QueryBench {
     val tBatch = time(batcher.searchMany(batch, 10))
     println(f"searchMany batch=64: ${batch.size / tBatch}%8.1f queries/sec " +
       f"(${tBatch * 1000 / batch.size}%6.2f ms/query amortized)")
+    // the scale-regime batch shape: whole batch in ONE Spark job — at the
+    // 10^12-doc target this is the only batch path (no driver kernel)
+    val batcherD = new Searcher(spark, baseDir)
+    batcherD.searchManyDistributed(batch.take(4), 10) // warm
+    val tBatchD = (1 to 3).map(_ => time(batcherD.searchManyDistributed(batch, 10))).min
+    println(f"searchManyDistributed batch=64: ${batch.size / tBatchD}%8.1f queries/sec " +
+      f"(${tBatchD * 1000 / batch.size}%6.2f ms/query amortized, one job)")
 
     // ---- MultiSearcher vs delta-segment count ----
     val deltaDirs = (0 until 16).map { d =>
@@ -95,6 +102,14 @@ object QueryBench {
       measure(s"multisearch base+$n deltas", q => multi.search(q, 10))
       multi.close()
     }
+    // batched multi-segment: one job per segment for the whole batch
+    val multiB = new MultiSearcher(spark, baseDir +: deltaDirs.take(4))
+    multiB.searchManyDistributed(batch.take(4), 10) // warm
+    val tMultiB = (1 to 3).map(_ => time(multiB.searchManyDistributed(batch, 10))).min
+    println(f"multisearch batched base+4 batch=64: ${batch.size / tMultiB}%8.1f queries/sec " +
+      f"(${tMultiB * 1000 / batch.size}%6.2f ms/query amortized, one job/segment)")
+    multiB.close()
+    Seq(local, dist, shuf, batcher, batcherD).foreach(_.close())
 
     import scala.reflect.io.Directory
     (Seq(srcTable, baseDir) ++ deltaDirs)

@@ -361,24 +361,16 @@ object RelationalQueries {
 
     // MinHash + LSH banding: per-doc band signatures, then candidate pairs
     "q_minhash_lsh" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
-        // a narrow filter must not collapse the heavy shingle+hash compute
-        // onto one scan task — spread the surviving rows across the cores
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("w", split(lower(trim(col("text"))), "\\s+"))
-        .withColumn("sh", array_distinct(
-          when(size(col("w")) >= 3,
-            transform(sequence(lit(1), size(col("w")) - 2),
-              i => concat_ws(" ", element_at(col("w"), i),
-                element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
-            .otherwise(array())))
-        .filter(size(col("sh")) > 0)
-        // one md5 pass per shingle in its own projection; bands are cheap
-        // affine transforms of the hashed array (Dedup.minhashBands family)
-        .withColumn("hs", graft.ops.Dedup.minhashHashes(col("sh")))
-        .withColumn("bands", graft.ops.Dedup.minhashBandsFromHashes(col("hs"), 8))
-        .select(col("doc_id"), explode_outer(col("bands")).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      // banding via the shared plan-gated projection (ONE split + ONE md5;
+      // a mid-pipeline size(sh)>0 filter would predicate-push the whole
+      // shingle expression below the projections — see Dedup.bandedProjection)
+      val docs = graft.ops.Dedup.bandedProjection(
+          t(s, dir, "documents").filter(col("doc_id") < 60)
+            // a narrow filter must not collapse the heavy shingle+hash compute
+            // onto one scan task — spread the surviving rows across the cores
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", 3, 8)
+        .withColumnRenamed("_id", "doc_id")
       val l = docs.select(col("doc_id").as("a"), col("band"), col("sig"))
       val r = docs.select(col("doc_id").as("b"), col("band"), col("sig"))
       l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
@@ -406,21 +398,12 @@ object RelationalQueries {
     // propagation) — one representative per duplicate group
 
     "q_dedup_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
-        // spread the 60 surviving heavy rows across cores (see q_minhash_lsh)
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("w", split(lower(trim(col("text"))), "\\s+"))
-        .withColumn("sh", array_distinct(
-          when(size(col("w")) >= 3,
-            transform(sequence(lit(1), size(col("w")) - 2),
-              i => concat_ws(" ", element_at(col("w"), i),
-                element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
-            .otherwise(array())))
-        .filter(size(col("sh")) > 0)
-        .withColumn("hs", graft.ops.Dedup.minhashHashes(col("sh")))
-        .withColumn("bands", graft.ops.Dedup.minhashBandsFromHashes(col("hs"), 8))
-        .select(col("doc_id"), explode_outer(col("bands")).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val docs = graft.ops.Dedup.bandedProjection(
+          t(s, dir, "documents").filter(col("doc_id") < 60)
+            // spread the 60 surviving heavy rows across cores (see q_minhash_lsh)
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", 3, 8)
+        .withColumnRenamed("_id", "doc_id")
       val l = docs.select(col("doc_id").as("a"), col("band"), col("sig"))
       val r = docs.select(col("doc_id").as("b"), col("band"), col("sig"))
       val pairs = l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))

@@ -201,25 +201,53 @@ object Dedup {
     * verify step consumes these edges). One groupBy + one join back, both
     * linear in bucket size. Returns (a, b) with a = bucket min < b.
     */
+  /** The shared tokenize -> shingle -> hash-once -> band projection:
+    * (_id, band, sig), one row per (doc, band). Factored out so OpsSpec and
+    * PLANS.md can gate the plan shape directly. Two aliases are load-bearing
+    * (CollapseProject keeps multi-referenced non-cheap aliases):
+    *
+    *  - `_w` (the word array): `shingles` references it at shingleK
+    *    element_at sites inside an interpreted-eval HOF lambda, so an
+    *    INLINED split would re-tokenize the document once per shingle per
+    *    site — O(words²) per doc. Found at the 1M-doc scale run
+    *    (DedupScaleBench): long code docs pushed dedup from seconds to
+    *    MINUTES while the short-doc sf0.1 battery hid the quadratic.
+    *  - `_hs` (the digest array): one md5 per shingle regardless of band
+    *    count; bands are cheap affine transforms of the attribute.
+    *
+    * explode_outer, NOT explode: the band array is fixed-length (never
+    * empty), and plain explode makes InferFiltersFromGenerate push a
+    * size(_b) > 0 filter below the projections with the WHOLE band
+    * expression (md5 pass included) inlined into it — every row would pay
+    * the digest twice. Gate: exactly ONE `split` and ONE `md5` in the plan.
+    */
+  private[graft] def bandedProjection(df: DataFrame, idCol: String, textCol: String,
+                                      shingleK: Int, bands: Int): DataFrame =
+    df
+      .withColumn("_w", split(lower(trim(col(textCol))), "\\s+"))
+      .withColumn("_sh", array_distinct(shingles(col("_w"), shingleK)))
+      .withColumn("_hs", minhashHashes(col("_sh")))
+      .withColumn("_b", minhashBandsFromHashes(col("_hs"), bands))
+      .select(col(idCol).as("_id"), explode_outer(col("_b")).as("bs"))
+      .select(col("_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      // shingle-less docs (fewer than shingleK words) are dropped HERE, not
+      // via a size(_sh) > 0 filter between the projections: a mid-pipeline
+      // filter gets predicate-pushed below the _w/_sh projects with the
+      // WHOLE shingle expression (5 split references) substituted into the
+      // condition — the exact O(words²) re-tokenization the _w alias
+      // prevents. `sig IS NULL` ⟺ empty shingle array (array_min of an
+      // empty digest array; digests themselves are never null), and the
+      // condition references the generator output, so it cannot be pushed
+      // below the Generate. Plan-gated in OpsSpec: ONE split, ONE md5.
+      .filter(col("sig").isNotNull)
+
   def minhashStarEdges(df: DataFrame, idCol: String, textCol: String,
                        shingleK: Int = 3, bands: Int = 8): DataFrame = {
     // persist the banding (shingle + minhash is the expensive part, consumed
     // by BOTH the bucket-rep aggregate and the join-back side); the returned
     // edge list is materialized (small — near-dup edges only) so the banding
     // is released here, as in simhashPairs
-    val banded = df
-      .withColumn("_sh", array_distinct(
-        shingles(split(lower(trim(col(textCol))), "\\s+"), shingleK)))
-      .filter(size(col("_sh")) > 0)
-      .withColumn("_hs", minhashHashes(col("_sh"))) // one md5 pass, own column
-      .withColumn("_b", minhashBandsFromHashes(col("_hs"), bands))
-      // explode_outer, NOT explode: the band array is fixed-length (never
-      // empty), and plain explode makes InferFiltersFromGenerate push a
-      // size(_b) > 0 filter below the projections with the WHOLE band
-      // expression (md5 pass included) inlined into it — every row would
-      // pay the digest twice. PLANS.md gates the single-md5 shape.
-      .select(col(idCol).as("_id"), explode_outer(col("_b")).as("bs"))
-      .select(col("_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val banded = bandedProjection(df, idCol, textCol, shingleK, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = banded.groupBy(col("band"), col("sig"))
       .agg(min(col("_id")).as("a"), count(lit(1)).as("_n"))
@@ -318,11 +346,20 @@ object Dedup {
         // length each round, so convergence is O(log diameter) instead of
         // O(diameter). Materialized lazily by the NEXT round's count job —
         // prop and the old labels stay cached until then.
+        //
+        // localCheckpoint (lazy), NOT persist: each round's plan would
+        // otherwise NEST the whole previous round (the self-join doubles
+        // the tree), and every count job serializes the plan string for
+        // its SQL-execution event — at the 1M-doc run the driver spent
+        // MINUTES in generateTreeString on exponentially deep trees while
+        // executors idled. The checkpoint truncates lineage to a LogicalRDD
+        // so per-round plan cost is O(1); blocks are freed by the context
+        // cleaner as old label generations drop out of scope.
         val next = prop.as("x")
           .join(prop.as("y"), col("x.label") === col("y.node"), "left")
           .select(col("x.node").as("node"),
             coalesce(col("y.label"), col("x.label")).as("label"))
-          .persist()
+          .localCheckpoint(false)
         prevToRelease = Seq(prop, labels)
         labels = next
       }

@@ -107,6 +107,48 @@ class BatchSearchSpec extends AnyFunSuite {
     m1.close(); m2.close(); m3.close()
   }
 
+  test("batched retrieval job count is independent of batch size") {
+    // the whole point of searchManyDistributed: a batch of B queries costs
+    // the SAME number of Spark jobs as one distributed query (AQE may stage
+    // one action as >1 job, so gate the batch==single EQUALITY, not a
+    // literal 1)
+    val s = new Searcher(spark, tmp)
+    s.search(batch.head, 10) // warm dict/norms/tombstones (their one-off jobs)
+    def countJobs(group: String)(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (Option(js.properties).exists(
+              p => p.getProperty("spark.jobGroup.id") == group))
+            counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        spark.sparkContext.setJobGroup(group, group)
+        body
+        spark.sparkContext.clearJobGroup()
+        // listener bus is async; poll until the count is stable
+        var last = -1
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val now = counter.get()
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+        last
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val single = countJobs("graft-gate-single") {
+      s.searchManyDistributed(Seq(batch.head), 10)
+    }
+    val full = countJobs("graft-gate-batch") {
+      s.searchManyDistributed(batch, 10)
+    }
+    assert(single >= 1, "distributed retrieval must launch at least one job")
+    assert(full == single,
+      s"batch of ${batch.size} used $full jobs; a single query used $single")
+  }
+
   test("concurrent distributed queries are capped by the global gate") {
     val s = new Searcher(spark, tmp)
     s.DriverKernelMaxPostings = 0 // every query launches a Spark job

@@ -314,6 +314,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("banding plan shape: exactly one split and one md5 (no HOF re-inlining)") {
+    // the word array and the digest array must survive as their own
+    // projections: an inlined split re-tokenizes O(words²)/doc inside the
+    // interpreted shingle lambda (found at the 1M-doc DedupScaleBench run);
+    // an inlined md5 pays one digest per band instead of per shingle
+    // parquet-backed input: a literal LocalRelation would be constant-folded
+    // away by ConvertToLocalRelation and gate nothing
+    val df = spark.read.parquet(docsPath)
+    val plan = Dedup.bandedProjection(df, "doc_id", "text", 3, 8)
+      .queryExecution.optimizedPlan.toString
+    def count(needle: String): Int = needle.r.findAllIn(plan).length
+    assert(count("split\\(") == 1, s"expected ONE split in plan:\n$plan")
+    assert(count("md5\\(") == 1, s"expected ONE md5 in plan:\n$plan")
+  }
+
   test("minhash bands: identical shingle sets share every band signature") {
     val df = Seq(
       (1L, Seq("a b c", "b c d", "c d e")),
