@@ -53,13 +53,17 @@ object EngineQueries {
     }),
 
     // batched retrieval: one prefetch job for the batch, per-query kernels
+    // (golden-oracled; scores round(.,6) like the other goldens)
     "ix_search_batch" -> ((s, dir) => {
       import s.implicits._
       val idx = SparkEntry.indexFor(s, dir)
       val searcher = new Searcher(s, idx)
       val batch = Seq("data table merge", "filter join sort", "data")
       searcher.searchMany(batch, 5).zip(batch).flatMap { case (hits, q) =>
-        hits.zipWithIndex.map { case (h, i) => (q, i + 1, h.docId, h.score) }
+        hits.zipWithIndex.map { case (h, i) =>
+          (q, i + 1, h.docId,
+            BigDecimal(h.score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
       }.toDF("query", "rank", "docId", "score")
     }),
 
@@ -369,6 +373,59 @@ object EngineQueries {
         |  (CAST(9 AS INT), CAST(364 AS BIGINT), CAST(2.159395 AS DOUBLE), 'src17', 'docs/zh/doc_417.txt', '0000000001a1', 'zh', 'bf809478d0f0835f0aae79157412e956563d9b0d228566d3579e74bf10c0becf'),
         |  (CAST(10 AS INT), CAST(163 AS BIGINT), CAST(2.152746 AS DOUBLE), 'src5', 'docs/en/doc_145.txt', '000000000091', 'en', '58719f94d2bbdda4208147ee3e2b658c639a8417740502f896d637e2e398c158'))
         |  AS t(rank, docId, score, repo, path, commit, lang, sha)""".stripMargin,
+
+    // dictionary head: df/cf per analyzed content term — the golden pins
+    // corpus statistics (A9) end-to-end through the ICU chain and the
+    // posting build (any tokenization or tf/df drift breaks it)
+    "ix_dictionary_top" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(17 AS INT), 'content', 'batch', CAST(402 AS BIGINT), CAST(937 AS BIGINT)),
+        |  (CAST(18 AS INT), 'content', 'small', CAST(399 AS BIGINT), CAST(928 AS BIGINT)),
+        |  (CAST(20 AS INT), 'content', 'scan', CAST(398 AS BIGINT), CAST(936 AS BIGINT)),
+        |  (CAST(5 AS INT), 'content', 'agg', CAST(397 AS BIGINT), CAST(901 AS BIGINT)),
+        |  (CAST(22 AS INT), 'content', 'data', CAST(395 AS BIGINT), CAST(908 AS BIGINT)),
+        |  (CAST(5 AS INT), 'content', 'big', CAST(394 AS BIGINT), CAST(876 AS BIGINT)),
+        |  (CAST(22 AS INT), 'content', 'customer', CAST(394 AS BIGINT), CAST(934 AS BIGINT)),
+        |  (CAST(0 AS INT), 'content', 'hash', CAST(394 AS BIGINT), CAST(947 AS BIGINT)),
+        |  (CAST(11 AS INT), 'content', 'join', CAST(394 AS BIGINT), CAST(964 AS BIGINT)),
+        |  (CAST(31 AS INT), 'content', 'slow', CAST(394 AS BIGINT), CAST(918 AS BIGINT)),
+        |  (CAST(8 AS INT), 'content', 'filter', CAST(393 AS BIGINT), CAST(933 AS BIGINT)),
+        |  (CAST(26 AS INT), 'content', 'merge', CAST(393 AS BIGINT), CAST(918 AS BIGINT)),
+        |  (CAST(21 AS INT), 'content', 'row', CAST(393 AS BIGINT), CAST(943 AS BIGINT)),
+        |  (CAST(21 AS INT), 'content', 'table', CAST(392 AS BIGINT), CAST(908 AS BIGINT)),
+        |  (CAST(26 AS INT), 'content', 'stream', CAST(391 AS BIGINT), CAST(888 AS BIGINT)),
+        |  (CAST(6 AS INT), 'content', 'a', CAST(388 AS BIGINT), CAST(880 AS BIGINT)),
+        |  (CAST(5 AS INT), 'content', 'sort', CAST(388 AS BIGINT), CAST(872 AS BIGINT)),
+        |  (CAST(8 AS INT), 'content', 'window', CAST(387 AS BIGINT), CAST(886 AS BIGINT)),
+        |  (CAST(30 AS INT), 'content', 'order', CAST(386 AS BIGINT), CAST(912 AS BIGINT)),
+        |  (CAST(1 AS INT), 'content', 'group', CAST(385 AS BIGINT), CAST(878 AS BIGINT)),
+        |  (CAST(18 AS INT), 'content', 'part', CAST(385 AS BIGINT), CAST(878 AS BIGINT)),
+        |  (CAST(19 AS INT), 'content', 'query', CAST(385 AS BIGINT), CAST(871 AS BIGINT)),
+        |  (CAST(6 AS INT), 'content', 'spark', CAST(385 AS BIGINT), CAST(880 AS BIGINT)),
+        |  (CAST(27 AS INT), 'content', 'column', CAST(384 AS BIGINT), CAST(934 AS BIGINT)),
+        |  (CAST(28 AS INT), 'content', 'value', CAST(383 AS BIGINT), CAST(897 AS BIGINT)))
+        |  AS t(bucket, field, term, df, cf)""".stripMargin,
+
+    // batched retrieval golden: identical to per-query results (that
+    // identity is additionally spec-gated); pins the prefetch + fan-out path
+    "ix_search_batch" ->
+      """SELECT * FROM (VALUES
+        |  ('data table merge', CAST(1 AS INT), CAST(389 AS BIGINT), CAST(1.164648 AS DOUBLE)),
+        |  ('data table merge', CAST(2 AS INT), CAST(302 AS BIGINT), CAST(1.159104 AS DOUBLE)),
+        |  ('data table merge', CAST(3 AS INT), CAST(186 AS BIGINT), CAST(1.157116 AS DOUBLE)),
+        |  ('data table merge', CAST(4 AS INT), CAST(229 AS BIGINT), CAST(1.157052 AS DOUBLE)),
+        |  ('data table merge', CAST(5 AS INT), CAST(159 AS BIGINT), CAST(1.154215 AS DOUBLE)),
+        |  ('filter join sort', CAST(1 AS INT), CAST(15 AS BIGINT), CAST(1.23392 AS DOUBLE)),
+        |  ('filter join sort', CAST(2 AS INT), CAST(256 AS BIGINT), CAST(1.223998 AS DOUBLE)),
+        |  ('filter join sort', CAST(3 AS INT), CAST(401 AS BIGINT), CAST(1.208941 AS DOUBLE)),
+        |  ('filter join sort', CAST(4 AS INT), CAST(125 AS BIGINT), CAST(1.184134 AS DOUBLE)),
+        |  ('filter join sort', CAST(5 AS INT), CAST(321 AS BIGINT), CAST(1.182413 AS DOUBLE)),
+        |  ('data', CAST(1 AS INT), CAST(168 AS BIGINT), CAST(0.450306 AS DOUBLE)),
+        |  ('data', CAST(2 AS INT), CAST(91 AS BIGINT), CAST(0.444055 AS DOUBLE)),
+        |  ('data', CAST(3 AS INT), CAST(491 AS BIGINT), CAST(0.435279 AS DOUBLE)),
+        |  ('data', CAST(4 AS INT), CAST(146 AS BIGINT), CAST(0.432141 AS DOUBLE)),
+        |  ('data', CAST(5 AS INT), CAST(463 AS BIGINT), CAST(0.429409 AS DOUBLE)))
+        |  AS t(query, rank, docId, score)""".stripMargin,
 
     // the fielded query's top-5 is an all-tie group (every src1 doc scores
     // identically on repo) — the golden also pins Lucene docId-asc

@@ -166,15 +166,26 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
   def globalDf(key: (String, String)): Long =
     segments.map(_.dict.dfOf(Set(key)).getOrElse(key, 0L)).sum
 
+  /** Same rationale as [[Searcher.querySession]]: the kernel stages consume
+    * COMPRESSED posting runs, so AQE's byte-based coalescing must target
+    * total/cores, not the 1 MB floor (measured 4-task collapse at 32 cores).
+    */
+  private lazy val querySession: SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16kb")
+    s
+  }
+
   /** Term-filtered posting runs of one segment (bucket directories pruned,
-    * term/field pruned to row groups) — the shared scan of all strategies.
+    * term/field pruned to row groups) — the shared scan of all strategies,
+    * planned under [[querySession]].
     */
   private def filteredRuns(seg: Segment, keys: Set[(String, String)]): Dataset[PostingRun] = {
     val termList = keys.map(_._2).toSeq
     val fieldList = keys.map(_._1).toSeq
     val bucketList = termList
       .map(t => graft.index.IndexBuilder.bucketOf(t, seg.meta.buckets)).distinct
-    spark.read.parquet(s"${seg.dir}/postings")
+    querySession.read.parquet(s"${seg.dir}/postings")
       .filter($"bucket".isin(bucketList: _*) &&
         $"term".isin(termList: _*) && $"field".isin(fieldList: _*))
       .as[PostingRun]
@@ -346,8 +357,8 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
   private def batchSegmentShuffle(seg: Segment, plansBc: Broadcast[Array[BatchPlan]],
       segKeys: Set[(String, String)], fieldArr: Array[String],
       avg: Map[String, Double], k: Int): Array[(Int, Hit)] = {
-    val stats = graft.index.Tombstones.exclude(spark, seg.dir,
-        spark.read.parquet(s"${seg.dir}/docstats")
+    val stats = graft.index.Tombstones.exclude(querySession, seg.dir,
+        querySession.read.parquet(s"${seg.dir}/docstats")
           .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))
       .as[(Long, Int, Int, Int, Int)]
     Searcher.gatedJob {
@@ -436,8 +447,8 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
   private def searchSegmentShuffle(seg: Segment, cls: Array[Clause], fieldArr: Array[String],
       idfMap: Map[(String, String), Double], avg: Map[String, Double],
       minMatch: Int, k: Int): Iterator[Hit] = {
-    val stats = graft.index.Tombstones.exclude(spark, seg.dir,
-        spark.read.parquet(s"${seg.dir}/docstats")
+    val stats = graft.index.Tombstones.exclude(querySession, seg.dir,
+        querySession.read.parquet(s"${seg.dir}/docstats")
           .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))
       .as[(Long, Int, Int, Int, Int)]
     Searcher.gatedJob {

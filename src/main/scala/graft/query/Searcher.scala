@@ -222,8 +222,27 @@ class Searcher(spark: SparkSession, indexDir: String) {
     spark.sparkContext.broadcast(NormTable(fields, arrs))
   }
 
-  /** Re-used postings DataFrame (file index cached across queries). */
-  private lazy val postingsDF: DataFrame = spark.read.parquet(s"$indexDir/postings")
+  /** Dedicated session for the kernel-stage jobs: same SparkContext (shared
+    * broadcasts, caches, scheduler), ISOLATED SQL conf. AQE's byte-based
+    * post-shuffle coalescing assumes work ∝ bytes, but posting runs are
+    * delta+varint COMPRESSED — a coalesced partition holds ~10-30x its bytes
+    * in decoded postings, and the measured kernel stage collapsed to 4-6
+    * tasks regardless of cores (batch of 256 ran FLAT from 8 to 32 cores,
+    * QueryScalingBench round 5). Lowering the coalesce floor keeps the
+    * parallelism-first target at total/cores without touching the caller's
+    * session, where normal byte-based coalescing is right.
+    */
+  private lazy val querySession: SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16kb")
+    s
+  }
+
+  /** Re-used postings DataFrame (file index cached across queries); planned
+    * under [[querySession]] so every strategy's kernel stage inherits the
+    * compute-dense coalescing conf.
+    */
+  private lazy val postingsDF: DataFrame = querySession.read.parquet(s"$indexDir/postings")
 
   /** Parsed clauses + idf map + mm gate + exact posting volume (sum of dfs —
     * the driver-vs-distributed kernel selector, free from the same lookup).
@@ -413,8 +432,8 @@ class Searcher(spark: SparkSession, indexDir: String) {
               .collect()
           }
         } else {
-          val stats = graft.index.Tombstones.exclude(spark, indexDir,
-              spark.read.parquet(s"$indexDir/docstats")
+          val stats = graft.index.Tombstones.exclude(querySession, indexDir,
+              querySession.read.parquet(s"$indexDir/docstats")
                 .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))
             .as[(Long, Int, Int, Int, Int)]
           Searcher.gatedJob {
@@ -465,8 +484,8 @@ class Searcher(spark: SparkSession, indexDir: String) {
       case Some((cls, idfMap, minMatch, _)) =>
         val avgLen = meta.avgLen
         val fieldArr = DefaultFields.toArray
-        val stats = graft.index.Tombstones.exclude(spark, indexDir,
-            spark.read.parquet(s"$indexDir/docstats")
+        val stats = graft.index.Tombstones.exclude(querySession, indexDir,
+            querySession.read.parquet(s"$indexDir/docstats")
               .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))
           .as[(Long, Int, Int, Int, Int)]
         val localHits = Searcher.gatedJob { filteredRuns(idfMap.keySet).groupByKey(_.salt)
