@@ -595,7 +595,7 @@ object Searcher {
     * flatMapGroups closure must capture plans/norm/tombstone broadcasts
     * only, never a Searcher.
     */
-  private[query] def scoreBatch(
+  private[graft] def scoreBatch(
       runs: Array[PostingRun],
       plans: Array[BatchPlan],
       quantLenOf: (Int, Long) => Int,

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core._
-import graft.query.{Clause, Kernel, TopK}
+import graft.query.{BatchPlan, Clause, Kernel, Searcher, TopK}
 import org.scalatest.funsuite.AnyFunSuite
 
 import scala.collection.mutable
@@ -168,5 +168,95 @@ class KernelPropertySpec extends AnyFunSuite {
     // majority of comparisons have actual hits (pruning paths exercised)
     assert(compared >= 250, s"only $compared of 300 cases compared")
     assert(nonEmptyResults >= 150, s"only $nonEmptyResults non-empty result sets")
+  }
+
+  test("scoreBatch == per-plan scoreSalt on 100 random universes x random batches") {
+    // the batched executor kernel (Searcher.scoreBatch) must be EXACTLY the
+    // per-query kernel run plan-by-plan: same runs selected per plan (shared
+    // (field, term) groups), same per-salt top-k, same tagging — attacked
+    // with random universes and batches whose queries OVERLAP on terms
+    val rng = new scala.util.Random(20260818L)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    var compared = 0
+    var nonEmpty = 0
+    (1 to 100).foreach { caze =>
+      val nDocs = 1 + rng.nextInt(200)
+      val saltRange = 32 + rng.nextInt(96)
+      val blockSize = 1 + rng.nextInt(8)
+      val lens = Array.tabulate(3, nDocs)((_, _) => 1 + rng.nextInt(300))
+      def quantLenOf(fi: Int, d: Long): Int = SmallFloat.quantizeLength(lens(fi)(d.toInt))
+      val avgLen = fields.zipWithIndex.map { case (f, fi) =>
+        f -> lens(fi).map(_.toDouble).sum / nDocs
+      }.toMap
+      val byKey = mutable.Map.empty[(String, String), Seq[(Long, Int)]]
+      fields.foreach { f =>
+        vocab.foreach { term =>
+          val density = if (rng.nextBoolean()) 0.05 else 0.4
+          val ps = (0L until nDocs.toLong)
+            .filter(_ => rng.nextDouble() < density)
+            .map(d => d -> (1 + rng.nextInt(5)))
+          if (ps.nonEmpty) byKey((f, term)) = ps
+        }
+      }
+      if (byKey.nonEmpty) {
+        val fieldIdx = fields.zipWithIndex.toMap
+        val runs: Array[PostingRun] = byKey.toArray.flatMap { case ((f, term), ps) =>
+          ps.groupBy(p => (p._1 / saltRange).toInt).toSeq.sortBy(_._1).map {
+            case (salt, saltPs) =>
+              val blocks = mkBlocks(saltPs.sortBy(_._1), blockSize,
+                quantLenOf, fieldIdx(f))
+              PostingRun(0, f, term, salt, saltPs.length.toLong,
+                saltPs.map(_._2.toLong).sum, saltPs.map(_._2).max, blocks)
+          }
+        }
+        val n = nDocs.toLong
+        // 2-6 overlapping queries: words drawn from a small vocab so plans
+        // share (field, term) groups within a salt
+        val nQueries = 2 + rng.nextInt(5)
+        val plans = (0 until nQueries).flatMap { qi =>
+          val words = (0 to rng.nextInt(3)).map(_ => vocab(rng.nextInt(vocab.length)))
+          val clauses = words.map { w =>
+            Clause(w, fields.filter(_ => rng.nextDouble() < 0.8).map(_ -> w).toMap)
+          }.filter(_.perField.nonEmpty).toArray
+          val idfMap = clauses.flatMap(_.perField.toSeq).distinct.flatMap { key =>
+            byKey.get(key).map(ps => key -> BM25.idf(n, ps.length.toLong))
+          }.toMap
+          if (clauses.isEmpty || idfMap.isEmpty) None
+          else Some(BatchPlan(qi, clauses, idfMap, BM25.minShouldMatch(clauses.length)))
+        }.toArray
+        if (plans.nonEmpty) {
+          val k = 1 + rng.nextInt(8)
+          val deletedSet =
+            (0L until nDocs.toLong).filter(_ => rng.nextDouble() < 0.1).toSet
+          val deleted: Long => Boolean = deletedSet.contains
+          val bySalt = runs.groupBy(_.salt).toSeq.sortBy(_._1)
+
+          // batched path: scoreBatch per salt group, merged per query
+          val batchTops = Array.fill(nQueries)(new TopK(k))
+          bySalt.foreach { case (_, rs) =>
+            Searcher.scoreBatch(rs, plans, quantLenOf, fields, avgLen, k, deleted)
+              .foreach { case (qi, h) => batchTops(qi).offer(h) }
+          }
+          // reference: the per-query kernel, plan by plan
+          plans.foreach { p =>
+            val top = new TopK(k)
+            bySalt.foreach { case (_, rs) =>
+              val qRuns = rs.filter(r => p.idfMap.contains((r.field, r.term)))
+              Kernel.scoreSalt(qRuns, quantLenOf, p.clauses, fields, p.idfMap,
+                avgLen, p.minMatch, k, deleted).foreach(top.offer)
+            }
+            val expect = top.sortedHits.toSeq
+            val got = batchTops(p.qi).sortedHits.toSeq
+            assert(got == expect,
+              s"case $caze qi=${p.qi}: nDocs=$nDocs k=$k " +
+                s"words=${p.clauses.map(_.word).mkString(",")}")
+            compared += 1
+            if (expect.nonEmpty) nonEmpty += 1
+          }
+        }
+      }
+    }
+    assert(compared >= 200, s"only $compared plan comparisons")
+    assert(nonEmpty >= 100, s"only $nonEmpty non-empty result sets")
   }
 }
