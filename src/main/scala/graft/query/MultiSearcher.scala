@@ -170,11 +170,7 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     * COMPRESSED posting runs, so AQE's byte-based coalescing must target
     * total/cores, not the 1 MB floor (measured 4-task collapse at 32 cores).
     */
-  private lazy val querySession: SparkSession = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16kb")
-    s
-  }
+  private lazy val querySession: SparkSession = Searcher.newQuerySession(spark)
 
   /** Term-filtered posting runs of one segment (bucket directories pruned,
     * term/field pruned to row groups) — the shared scan of all strategies,

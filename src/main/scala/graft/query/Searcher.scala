@@ -232,11 +232,7 @@ class Searcher(spark: SparkSession, indexDir: String) {
     * parallelism-first target at total/cores without touching the caller's
     * session, where normal byte-based coalescing is right.
     */
-  private lazy val querySession: SparkSession = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16kb")
-    s
-  }
+  private lazy val querySession: SparkSession = Searcher.newQuerySession(spark)
 
   /** Re-used postings DataFrame (file index cached across queries); planned
     * under [[querySession]] so every strategy's kernel stage inherits the
@@ -548,6 +544,22 @@ object Searcher {
   private[query] def deletedFn(ts: Array[Long]): Long => Boolean =
     if (ts.isEmpty) _ => false
     else d => java.util.Arrays.binarySearch(ts, d) >= 0
+
+  /** SQL conf applied to every searcher's dedicated query session (read at
+    * that searcher's first kernel job; set before constructing searchers to
+    * override). Default: keep AQE but drop the partition-coalescing floor
+    * so the parallelism-first target is total/cores — posting runs are
+    * COMPRESSED, and the 1 MB byte floor was collapsing kernel stages to a
+    * handful of tasks (see [[Searcher.querySession]]'s scaladoc).
+    */
+  @volatile var QuerySessionConf: Map[String, String] =
+    Map("spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16kb")
+
+  private[query] def newQuerySession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    QuerySessionConf.foreach { case (k, v) => s.conf.set(k, v) }
+    s
+  }
 
   /** Destroy a broadcast, swallowing only NON-fatal failures (a broadcast
     * already destroyed elsewhere, a stopped context); InterruptedException
