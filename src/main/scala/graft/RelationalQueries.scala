@@ -427,6 +427,56 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the COMPOSED curation pipeline a training-data run actually executes,
+    // as one funnel: language-ID gate (predicted en) -> quality gate ->
+    // exact dedup (canonical-fingerprint groupBy) -> MinHash near-dup dedup
+    // (star edges + connected components) -> per-stage doc/token budget.
+    // Every stage reuses an oracle-proven operator (q_langid, q_quality,
+    // q_fingerprint, q_dedup_corpus); the composed DuckDB oracle replays
+    // the same funnel, so the hash check gates the whole pipeline SHAPE —
+    // filters feeding dedups feeding the budget — not just the islands.
+    "q_pipeline_curation" -> ((s, dir) => {
+      val wordsLower = split(lower(col("text")), "\\s+")
+      val en = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+      val es = array(Seq("el", "la", "de", "y", "que").map(lit): _*)
+      val de = array(Seq("der", "die", "das", "und", "ist").map(lit): _*)
+      val raw = t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      // every gate BITES on this corpus (thresholds sized to the data so the
+      // funnel is non-vacuous: ~9% fail strict language dominance, ~45% the
+      // token floor, ~5% share a prefix fingerprint)
+      val langEn = raw
+        .withColumn("s_en", size(array_intersect(wordsLower, en)))
+        .withColumn("s_es", size(array_intersect(wordsLower, es)))
+        .withColumn("s_de", size(array_intersect(wordsLower, de)))
+        .filter(col("s_en") > col("s_es") && col("s_en") > col("s_de"))
+      val quality = langEn
+        .withColumn("alpha", length(regexp_replace(col("text"), "[^a-zA-Z]", "")))
+        .filter(col("n_tokens") >= 50 && col("n_tokens") <= 10000 &&
+          col("alpha") * 2 > length(col("text")))
+      // exact dedup on the 5-token prefix fingerprint (q_dedup_exact's
+      // definition): min doc_id per fingerprint survives
+      val exact = quality
+        .withColumn("fp",
+          md5(concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 5))))
+        .withColumn("rep", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+        .filter(col("doc_id") === col("rep"))
+      val near = graft.ops.Dedup.dedupCorpus(
+        exact.select("doc_id", "text", "n_tokens")
+          .repartition(s.sparkContext.defaultParallelism), "doc_id", "text")
+      def stage(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_tokens")), lit(0L)).as("sum_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("sum_tokens"))
+      stage("00_raw", raw)
+        .unionByName(stage("10_lang_en", langEn))
+        .unionByName(stage("20_quality", quality))
+        .unionByName(stage("30_exact_dedup", exact))
+        .unionByName(stage("40_neardup_dedup", near))
+        .orderBy(col("stage"))
+    }),
+
     // F6 serialize_term: controlled-vocabulary id->label via broadcast map
     // (util.py:240-299, controlled_fields.py:15-782)
     "q_serialize_term" -> ((s, dir) => {
@@ -833,6 +883,63 @@ object RelationalQueries {
         |WHERE doc_id < 60
         |  AND doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster_rep)
         |ORDER BY doc_id""".stripMargin,
+
+    // the composed funnel: every fragment is the proven port from its
+    // standalone oracle (q_langid, q_quality, q_fingerprint window dedup,
+    // q_dedup_corpus's minhash + recursive-CTE closure), chained
+    "q_pipeline_curation" ->
+      """WITH RECURSIVE
+        |raw AS (SELECT doc_id, text,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents WHERE doc_id < 2000),
+        |langd AS (SELECT * FROM raw WHERE
+        |    len(list_intersect(string_split_regex(lower(text), '\s+'),
+        |        ['the','a','of','and','to'])) >
+        |      len(list_intersect(string_split_regex(lower(text), '\s+'),
+        |        ['el','la','de','y','que']))
+        |  AND len(list_intersect(string_split_regex(lower(text), '\s+'),
+        |        ['the','a','of','and','to'])) >
+        |      len(list_intersect(string_split_regex(lower(text), '\s+'),
+        |        ['der','die','das','und','ist']))),
+        |qual AS (SELECT * FROM langd WHERE n_tokens BETWEEN 50 AND 10000
+        |  AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 2 > length(text)),
+        |exact AS (SELECT doc_id, text, n_tokens FROM (
+        |  SELECT q.*, min(doc_id) OVER (PARTITION BY md5(array_to_string(
+        |      (string_split_regex(lower(trim(text)), '\s+'))[1:5], ' '))) AS rep
+        |  FROM qual q) WHERE doc_id = rep),
+        |w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w FROM exact),
+        |s AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END) AS sh FROM w),
+        |hs AS (SELECT doc_id,
+        |    list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+        |  FROM s WHERE len(sh) > 0),
+        |sigs AS (SELECT doc_id,
+        |    unnest(generate_series(0, 7)) AS band,
+        |    unnest(list_transform(generate_series(0, 7),
+        |      b -> list_min(list_transform(hs,
+        |        x -> (((2654435761 * (b + 1)) % 2147483647) * x
+        |              + ((2246822519 * (b + 1)) % 2147483647)) % 4294967311)))) AS sig
+        |  FROM hs),
+        |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
+        |  WHERE l.doc_id < r.doc_id),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT a AS node, a AS r FROM edges
+        |  UNION
+        |  SELECT e.a AS node, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+        |comp AS (SELECT node, min(r) AS cluster_rep FROM reach GROUP BY node),
+        |near AS (SELECT * FROM exact WHERE doc_id NOT IN
+        |  (SELECT node FROM comp WHERE node <> cluster_rep))
+        |SELECT '00_raw' AS stage, count(*) AS n_docs,
+        |  coalesce(sum(n_tokens), 0)::BIGINT AS sum_tokens FROM raw
+        |UNION ALL SELECT '10_lang_en', count(*), coalesce(sum(n_tokens), 0)::BIGINT FROM langd
+        |UNION ALL SELECT '20_quality', count(*), coalesce(sum(n_tokens), 0)::BIGINT FROM qual
+        |UNION ALL SELECT '30_exact_dedup', count(*), coalesce(sum(n_tokens), 0)::BIGINT FROM exact
+        |UNION ALL SELECT '40_neardup_dedup', count(*), coalesce(sum(n_tokens), 0)::BIGINT FROM near
+        |ORDER BY stage""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE
