@@ -123,6 +123,29 @@ object Bench {
     dt
   }
 
+  /** The SAME fixed spin on every core concurrently: moves with EFFECTIVE
+    * parallel capacity, which the single-thread sentinel cannot see —
+    * observed on this box: a neighbor-load episode left the 1-thread
+    * sentinel within 5% while 32-thread metrics (batch q/s, build docs/s)
+    * degraded 1.5-20x. Quiet box: ~= the single-thread number (every core
+    * free); oversubscription inflates the ratio mt/single proportionally.
+    */
+  def spinSentinelMtMs(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { t =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var i = 0
+        while (i < 150000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        if (x == 42L) Console.err.println("sentinel") // defeat DCE
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e6
+  }
+
   /** Every query here RETURNS HITS on the synthetic corpus (rounds 1-3
     * carried three queries whose terms don't exist as bare tokens — the
     * vocabulary is compound identifiers + keywords — so they short-circuited
@@ -176,6 +199,7 @@ object Bench {
     // Every sub-second query metric below is the per-query MIN of 3 passes
     // (load-robust; see [[minPerQuery]]); the sentinel pins machine load.
     val sentinelMs = spinSentinelMs()
+    val sentinelMtMs = spinSentinelMtMs()
     val searcher = new Searcher(spark, out)
     // warm-up once (JIT + parquet footers), then measure per-query latency.
     // COLD regime: each of 3 FRESH searchers pays every term's first
@@ -196,7 +220,8 @@ object Bench {
       "ix_query_p50_ms" -> sorted(sorted.length / 2) * 1000,
       "ix_query_max_ms" -> sorted.last * 1000,
       "ix_query_p50_ms_warm" -> warm(warm.length / 2) * 1000,
-      "ix_spin_sentinel_ms" -> sentinelMs)
+      "ix_spin_sentinel_ms" -> sentinelMs,
+      "ix_spin_sentinel_mt_ms" -> sentinelMtMs)
     if (!full) {
       coldSearchers.foreach(_.close())
       import scala.reflect.io.Directory
@@ -263,6 +288,7 @@ object Bench {
     multi.close()
     (coldSearchers ++ Seq(dist, shuf, batcher, batcherD)).foreach(_.close())
     val sentinelEndMs = spinSentinelMs()
+    val sentinelEndMtMs = spinSentinelMtMs()
 
     import scala.reflect.io.Directory
     new Directory(new java.io.File(out)).deleteRecursively()
@@ -276,7 +302,8 @@ object Bench {
       "ix_multisearch_p50_ms" -> p50of(multiLats) * 1000,
       "ix_batch_qps" -> batch.size / tBatch,
       "ix_batch_qps_distributed" -> batch.size / tBatchDist,
-      "ix_spin_sentinel_end_ms" -> sentinelEndMs)
+      "ix_spin_sentinel_end_ms" -> sentinelEndMs,
+      "ix_spin_sentinel_end_mt_ms" -> sentinelEndMtMs)
   }
 
   def main(args: Array[String]): Unit = {
