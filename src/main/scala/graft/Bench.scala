@@ -58,6 +58,9 @@ object Bench {
       .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // temp streaming checkpoints (q_stream_window) really are temporary:
+      // delete them on stop instead of leaking /tmp dirs + a shutdown WARN
+      .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -78,6 +81,9 @@ object Bench {
       .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // temp streaming checkpoints (q_stream_window) really are temporary:
+      // delete them on stop instead of leaking /tmp dirs + a shutdown WARN
+      .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -352,7 +358,15 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = relational.map(_._2).filter(_ > 0).sum + engine("ix_build_sec")
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s"}""")
+    val line = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s"}"""
+    println(line)
+    // Also drop a clean machine-readable copy in the repo: the driver's
+    // stdout capture interleaves the line with sbt/log4j noise (every
+    // recorded round so far shows parsed:null), so a file beats re-grepping
+    // the tail. Overwritten per run; BENCH/BASELINE.md is the curated record.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }
