@@ -71,6 +71,18 @@ object EngineQueries {
       }.toDF("query", "rank", "docId", "score")
     }),
 
+    // Solr q+fq: ranked top-k constrained to a filter query — the reference
+    // consumer's dominant shape (every catalog search carries visibility
+    // filters). Scores are EXACTLY the unfiltered query's for the same docs
+    // (fq never contributes to scoring); golden-oracled, and
+    // FilteredSearchSpec gates every strategy route against literal
+    // post-filtering of the full ranking.
+    "ix_search_filtered" -> ((s, dir) => {
+      val idx = SparkEntry.indexFor(s, dir)
+      new Searcher(s, idx).searchDF("data table merge", 10, fq = Some("lang:en"))
+        .withColumn("score", round(col("score"), 6))
+    }),
+
     // Q3: six-term query exercising the mm=6<90% tier (golden-oracled)
     "ix_search_multiterm" -> ((s, dir) => {
       val idx = SparkEntry.indexFor(s, dir)
@@ -367,6 +379,25 @@ object EngineQueries {
         |  (CAST(8 AS INT), CAST(426 AS BIGINT), CAST(1.1482 AS DOUBLE), 'src14', 'docs/en/doc_394.txt', '00000000018a', 'en', 'd8c9d1e12322849458879a7d8fac340860e553db6e319c02cf5f91ee86a3acd1'),
         |  (CAST(9 AS INT), CAST(46 AS BIGINT), CAST(1.136259 AS DOUBLE), 'src11', 'docs/es/doc_111.txt', '00000000006f', 'es', '16068a2b0889f65a6716d65787c4ec21f4891effaa7cf1ccb88805a607e24bd0'),
         |  (CAST(10 AS INT), CAST(342 AS BIGINT), CAST(1.134054 AS DOUBLE), 'src1', 'docs/en/doc_301.txt', '00000000012d', 'en', 'b364218cb851f2ba9d870d20114611c4182f08c50f628de576d4b1743fcfad66'))
+        |  AS t(rank, docId, score, repo, path, commit, lang, sha)""".stripMargin,
+
+    // q+fq golden: the filter displaces the unfiltered top-10's fr/es/zh
+    // docs while every surviving doc keeps its EXACT unfiltered score
+    // (compare docIds 389/302/458 against ix_search_topk — Solr fq
+    // semantics: filters never contribute to scoring), and ranks 7-8 pin
+    // docId-asc tie-breaking inside the filtered ranking
+    "ix_search_filtered" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS INT), CAST(389 AS BIGINT), CAST(1.164648 AS DOUBLE), 'src15', 'docs/en/doc_95.txt', '00000000005f', 'en', 'ca2ddd3fdf4e719f1eee30bc97620074b804bffd3a0c6451e866d6161776d2fd'),
+        |  (CAST(2 AS INT), CAST(302 AS BIGINT), CAST(1.159104 AS DOUBLE), 'src18', 'docs/en/doc_498.txt', '0000000001f2', 'en', '9b8490b1a81917c1ec87662edf0a0f9bfd8aee9ef4fd7013ce605ffc4412f32f'),
+        |  (CAST(3 AS INT), CAST(186 AS BIGINT), CAST(1.157116 AS DOUBLE), 'src0', 'docs/en/doc_260.txt', '000000000104', 'en', '675de91f3771e90081165fe17fa00045a689f9873777c07a12aaf26ab26f837a'),
+        |  (CAST(4 AS INT), CAST(159 AS BIGINT), CAST(1.154215 AS DOUBLE), 'src8', 'docs/en/doc_188.txt', '0000000000bc', 'en', '5662217d5b67ed265df14ec679077c6f575f0edad574a53a1053ff681d877805'),
+        |  (CAST(5 AS INT), CAST(458 AS BIGINT), CAST(1.149415 AS DOUBLE), 'src1', 'docs/en/doc_421.txt', '0000000001a5', 'en', 'ead0cea2358646a7e147d48da8f5983550a6a5993a5b9d321f72b421c76e9d01'),
+        |  (CAST(6 AS INT), CAST(426 AS BIGINT), CAST(1.1482 AS DOUBLE), 'src14', 'docs/en/doc_394.txt', '00000000018a', 'en', 'd8c9d1e12322849458879a7d8fac340860e553db6e319c02cf5f91ee86a3acd1'),
+        |  (CAST(7 AS INT), CAST(342 AS BIGINT), CAST(1.134054 AS DOUBLE), 'src1', 'docs/en/doc_301.txt', '00000000012d', 'en', 'b364218cb851f2ba9d870d20114611c4182f08c50f628de576d4b1743fcfad66'),
+        |  (CAST(8 AS INT), CAST(382 AS BIGINT), CAST(1.134054 AS DOUBLE), 'src5', 'docs/en/doc_285.txt', '00000000011d', 'en', 'c75897a773c32f9dc36ee4ccc8650dd40554bc13d35228a67032c9829a118cc4'),
+        |  (CAST(9 AS INT), CAST(419 AS BIGINT), CAST(1.129702 AS DOUBLE), 'src1', 'docs/en/doc_261.txt', '000000000105', 'en', 'd76763cee32f5d41d5fb2762a29efe906d7157aebfb2555b00c0870db877155b'),
+        |  (CAST(10 AS INT), CAST(140 AS BIGINT), CAST(1.127062 AS DOUBLE), 'src10', 'docs/en/doc_270.txt', '00000000010e', 'en', '49070f2e06cb006a9273383aa2ccbfddb67774cb27663c5763b14395a98607ed'))
         |  AS t(rank, docId, score, repo, path, commit, lang, sha)""".stripMargin,
 
     "ix_search_multiterm" ->

@@ -132,6 +132,58 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     if (ts.isEmpty) _ => false
     else d => java.util.Arrays.binarySearch(ts, d) >= 0
 
+  // ---- filter queries (Solr q + fq) across segments: the fq is evaluated
+  // PER SEGMENT on that segment's own docId space (QueryFilter compiles
+  // against the segment's tables), so a doc passes iff its segment says so —
+  // identical to evaluating the filter on the merged index. Same two
+  // regimes as [[Searcher]]: sorted-array broadcast below the bound, else
+  // the segment routes to its shuffle strategy with a docstats semi-join.
+
+  /** Same semantics as [[Searcher.FqMaxBroadcast]], per segment. */
+  var FqMaxBroadcast: Long = 1L << 23
+
+  /** Bounded (dir, fq) -> resolved-set LRU; evicted broadcasts stay in the
+    * close() inventory (never destroyed under an in-flight query).
+    */
+  var FqCacheMaxEntries: Int = 64
+
+  private case class FqSet(count: Long, sorted: Option[Broadcast[Array[Long]]])
+
+  private val fqCache =
+    new java.util.LinkedHashMap[(String, String), FqSet](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), FqSet]): Boolean =
+        size() > FqCacheMaxEntries
+    }
+  private val fqInFlight = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.util.concurrent.CompletableFuture[FqSet]]()
+
+  private def resolveFq(seg: Segment, fqs: String): FqSet = {
+    val key = (seg.dir, fqs)
+    val hit = fqCache.synchronized(fqCache.get(key))
+    if (hit != null) return hit
+    val fut = new java.util.concurrent.CompletableFuture[FqSet]()
+    val prior = fqInFlight.putIfAbsent(key, fut)
+    if (prior != null) prior.join()
+    else
+      try {
+        val docs = graft.index.QueryFilter
+          .matchingDocs(querySession, seg.dir, fqs).select($"docId")
+        val n = docs.count()
+        val set =
+          if (n <= FqMaxBroadcast) {
+            val arr = docs.as[Long].collect()
+            java.util.Arrays.sort(arr)
+            FqSet(n, Some(track(spark.sparkContext.broadcast(arr))))
+          } else FqSet(n, None)
+        fqCache.synchronized(fqCache.put(key, set))
+        fut.complete(set)
+        set
+      } catch {
+        case t: Throwable => fut.completeExceptionally(t); throw t
+      } finally fqInFlight.remove(key, fut)
+  }
+
   /** Norm-table builds (tests assert one docstats read per segment). */
   private[graft] val normBuilds = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -187,7 +239,8 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
       .as[PostingRun]
   }
 
-  def search(query: String, k: Int, fields: Seq[String] = DefaultFields): Array[Hit] = {
+  def search(query: String, k: Int, fields: Seq[String] = DefaultFields,
+             fq: Option[String] = None): Array[Hit] = {
     val cls = QueryPlan.clauses(query, fields)
     if (cls.isEmpty) return Array.empty
     val needed = cls.flatMap(_.perField.toSeq).toSet
@@ -211,15 +264,19 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     val segResults: Seq[Seq[Hit]] =
       awaitAll(segments.zip(perSegDf).map { case (seg, segDf) => () =>
         val segPostings = idfMap.keysIterator.map(k2 => segDf.getOrElse(k2, 0L)).sum
-        if (segPostings == 0) Seq.empty[Hit]
+        val segFq = fq.map(f => resolveFq(seg, f))
+        if (segPostings == 0 || segFq.exists(_.count == 0)) Seq.empty[Hit]
         else {
+          val fqBc = segFq.flatMap(_.sorted)
+          val fqSemi = fq.isDefined && fqBc.isEmpty
           val segHits: Iterator[Hit] =
-            if (seg.meta.nDocs > NormsMaxDocs || seg.tombstoneCount > TombstonesMaxBroadcast)
-              searchSegmentShuffle(seg, cls, fieldArr, idfMap, avg, minMatch, k)
+            if (fqSemi || seg.meta.nDocs > NormsMaxDocs ||
+                seg.tombstoneCount > TombstonesMaxBroadcast)
+              searchSegmentShuffle(seg, cls, fieldArr, idfMap, avg, minMatch, k, fq)
             else if (segPostings > DriverKernelMaxPostings)
-              searchSegmentDistributed(seg, cls, fieldArr, idfMap, avg, minMatch, k)
+              searchSegmentDistributed(seg, cls, fieldArr, idfMap, avg, minMatch, k, fqBc)
             else
-              searchSegmentDriver(seg, cls, fieldArr, idfMap, avg, minMatch, k)
+              searchSegmentDriver(seg, cls, fieldArr, idfMap, avg, minMatch, k, fqBc)
           segHits.map(h => Hit(seg.offset + h.docId, h.score)).toSeq
         }
       })
@@ -236,14 +293,15 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     * [[search]] per query.
     */
   def searchMany(queries: Seq[String], k: Int,
-                 fields: Seq[String] = DefaultFields): Seq[Array[Hit]] =
-    if (queries.lengthCompare(1) <= 0) queries.map(q => search(q, k, fields))
+                 fields: Seq[String] = DefaultFields,
+                 fq: Option[String] = None): Seq[Array[Hit]] =
+    if (queries.lengthCompare(1) <= 0) queries.map(q => search(q, k, fields, fq))
     else {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext = Searcher.kernelPool
       Await.result(
-        Future.sequence(queries.map(q => Future(search(q, k, fields)))),
+        Future.sequence(queries.map(q => Future(search(q, k, fields, fq)))),
         Duration.Inf)
     }
 
@@ -261,7 +319,8 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     * routes).
     */
   def searchManyDistributed(queries: Seq[String], k: Int,
-                            fields: Seq[String] = DefaultFields): Seq[Array[Hit]] = {
+                            fields: Seq[String] = DefaultFields,
+                            fq: Option[String] = None): Seq[Array[Hit]] = {
     val parsed = queries.map(q => QueryPlan.clauses(q, fields))
     val allNeeded = parsed.iterator.flatMap(_.flatMap(_.perField.toSeq)).toSet
     if (allNeeded.isEmpty) return queries.map(_ => Array.empty[Hit])
@@ -286,16 +345,20 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     val segTagged: Seq[Array[(Int, Hit)]] =
       try awaitAll(segments.zip(perSegDf).map { case (seg, segDf) => () =>
         val segKeys = allKeys.filter(k2 => segDf.getOrElse(k2, 0L) > 0)
-        if (segKeys.isEmpty) Array.empty[(Int, Hit)]
+        val segFq = fq.map(f => resolveFq(seg, f))
+        if (segKeys.isEmpty || segFq.exists(_.count == 0)) Array.empty[(Int, Hit)]
         else {
           val segPostings = segKeys.iterator.map(segDf).sum
+          val fqBc = segFq.flatMap(_.sorted)
+          val fqSemi = fq.isDefined && fqBc.isEmpty
           val local: Array[(Int, Hit)] =
-            if (seg.meta.nDocs > NormsMaxDocs || seg.tombstoneCount > TombstonesMaxBroadcast)
-              batchSegmentShuffle(seg, plansBc, segKeys, fieldArr, avg, k)
+            if (fqSemi || seg.meta.nDocs > NormsMaxDocs ||
+                seg.tombstoneCount > TombstonesMaxBroadcast)
+              batchSegmentShuffle(seg, plansBc, segKeys, fieldArr, avg, k, fq)
             else if (segPostings > DriverKernelMaxPostings)
-              batchSegmentDistributed(seg, plansBc, segKeys, fieldArr, avg, k)
+              batchSegmentDistributed(seg, plansBc, segKeys, fieldArr, avg, k, fqBc)
             else
-              batchSegmentDriver(seg, plans, segKeys, fieldArr, avg, k)
+              batchSegmentDriver(seg, plans, segKeys, fieldArr, avg, k, fqBc)
           local.map { case (qi, h) => (qi, Hit(seg.offset + h.docId, h.score)) }
         }
       })
@@ -310,14 +373,15 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     */
   private def batchSegmentDriver(seg: Segment, plans: Array[BatchPlan],
       segKeys: Set[(String, String)], fieldArr: Array[String],
-      avg: Map[String, Double], k: Int): Array[(Int, Hit)] = {
+      avg: Map[String, Double], k: Int,
+      fqBc: Option[Broadcast[Array[Long]]] = None): Array[(Int, Hit)] = {
     driverRunFetches.incrementAndGet()
     val runs = filteredRuns(seg, segKeys).collect()
     val lens = seg.normsBc.value
-    val del = deletedFn(seg.tombstonesBc.value)
+    val excl = Searcher.excludedFn(seg.tombstonesBc.value, fqBc.map(_.value).orNull)
     runs.groupBy(_.salt).valuesIterator.flatMap { rs =>
       Searcher.scoreBatch(rs, plans,
-        (fi, d) => SmallFloat.byte4ToInt(lens(fi)(d.toInt)), fieldArr, avg, k, del)
+        (fi, d) => SmallFloat.byte4ToInt(lens(fi)(d.toInt)), fieldArr, avg, k, excl)
     }.toArray
   }
 
@@ -326,20 +390,19 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     */
   private def batchSegmentDistributed(seg: Segment, plansBc: Broadcast[Array[BatchPlan]],
       segKeys: Set[(String, String)], fieldArr: Array[String],
-      avg: Map[String, Double], k: Int): Array[(Int, Hit)] = {
+      avg: Map[String, Double], k: Int,
+      fqBc: Option[Broadcast[Array[Long]]] = None): Array[(Int, Hit)] = {
     val bc = seg.normsBc
     val tsBc = seg.tombstonesBc
+    val fqB = fqBc // local val: the closure must not capture `this`
     Searcher.gatedJob {
       filteredRuns(seg, segKeys)
         .groupByKey(_.salt)
         .flatMapGroups { (_, it) =>
           val lens = bc.value
-          val ts = tsBc.value
-          val del: Long => Boolean =
-            if (ts.isEmpty) _ => false
-            else d => java.util.Arrays.binarySearch(ts, d) >= 0
           Searcher.scoreBatch(it.toArray, plansBc.value,
-            (fi, d) => SmallFloat.byte4ToInt(lens(fi)(d.toInt)), fieldArr, avg, k, del)
+            (fi, d) => SmallFloat.byte4ToInt(lens(fi)(d.toInt)), fieldArr, avg, k,
+            Searcher.excludedFn(tsBc.value, fqB.map(_.value).orNull))
         }
         .collect()
     }
@@ -352,10 +415,17 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     */
   private def batchSegmentShuffle(seg: Segment, plansBc: Broadcast[Array[BatchPlan]],
       segKeys: Set[(String, String)], fieldArr: Array[String],
-      avg: Map[String, Double], k: Int): Array[(Int, Hit)] = {
-    val stats = graft.index.Tombstones.exclude(querySession, seg.dir,
-        querySession.read.parquet(s"${seg.dir}/docstats")
-          .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))
+      avg: Map[String, Double], k: Int,
+      fq: Option[String] = None): Array[(Int, Hit)] = {
+    val stats = fq.foldLeft(
+        graft.index.Tombstones.exclude(querySession, seg.dir,
+          querySession.read.parquet(s"${seg.dir}/docstats")
+            .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))) {
+        (df, f) =>
+          df.join(graft.index.QueryFilter
+              .matchingDocs(querySession, seg.dir, f).select($"docId"),
+            Seq("docId"), "left_semi")
+      }
       .as[(Long, Int, Int, Int, Int)]
     Searcher.gatedJob {
       filteredRuns(seg, segKeys).groupByKey(_.salt)
@@ -399,14 +469,15 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
   /** Small segments: collect the term-filtered runs, kernel on the driver. */
   private def searchSegmentDriver(seg: Segment, cls: Array[Clause], fieldArr: Array[String],
       idfMap: Map[(String, String), Double], avg: Map[String, Double],
-      minMatch: Int, k: Int): Iterator[Hit] = {
+      minMatch: Int, k: Int,
+      fqBc: Option[Broadcast[Array[Long]]] = None): Iterator[Hit] = {
     driverRunFetches.incrementAndGet()
     val runs = filteredRuns(seg, idfMap.keySet).collect()
     val lens = seg.normsBc.value
-    val del = deletedFn(seg.tombstonesBc.value)
+    val excl = Searcher.excludedFn(seg.tombstonesBc.value, fqBc.map(_.value).orNull)
     runs.groupBy(_.salt).valuesIterator.flatMap { rs =>
       Kernel.scoreSalt(rs, (fi, d) => SmallFloat.byte4ToInt(lens(fi)(d.toInt)),
-        cls, fieldArr, idfMap, avg, minMatch, k, del)
+        cls, fieldArr, idfMap, avg, minMatch, k, excl)
     }
   }
 
@@ -416,19 +487,19 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     */
   private def searchSegmentDistributed(seg: Segment, cls: Array[Clause], fieldArr: Array[String],
       idfMap: Map[(String, String), Double], avg: Map[String, Double],
-      minMatch: Int, k: Int): Iterator[Hit] = {
+      minMatch: Int, k: Int,
+      fqBc: Option[Broadcast[Array[Long]]] = None): Iterator[Hit] = {
     val bc = seg.normsBc
     val tsBc = seg.tombstonesBc
+    val fqB = fqBc // local val: the closure must not capture `this`
     Searcher.gatedJob {
       filteredRuns(seg, idfMap.keySet)
         .groupByKey(_.salt)
         .flatMapGroups { (_, it) =>
           val lens = bc.value
-          val del =
-            if (tsBc.value.isEmpty) (_: Long) => false
-            else (d: Long) => java.util.Arrays.binarySearch(tsBc.value, d) >= 0
           Kernel.scoreSalt(it.toArray, (fi, d) => SmallFloat.byte4ToInt(lens(fi)(d.toInt)),
-            cls, fieldArr, idfMap, avg, minMatch, k, del)
+            cls, fieldArr, idfMap, avg, minMatch, k,
+            Searcher.excludedFn(tsBc.value, fqB.map(_.value).orNull))
         }
         .collect()
     }.iterator
@@ -442,10 +513,16 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     */
   private def searchSegmentShuffle(seg: Segment, cls: Array[Clause], fieldArr: Array[String],
       idfMap: Map[(String, String), Double], avg: Map[String, Double],
-      minMatch: Int, k: Int): Iterator[Hit] = {
-    val stats = graft.index.Tombstones.exclude(querySession, seg.dir,
-        querySession.read.parquet(s"${seg.dir}/docstats")
-          .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))
+      minMatch: Int, k: Int, fq: Option[String] = None): Iterator[Hit] = {
+    val stats = fq.foldLeft(
+        graft.index.Tombstones.exclude(querySession, seg.dir,
+          querySession.read.parquet(s"${seg.dir}/docstats")
+            .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))) {
+        (df, f) =>
+          df.join(graft.index.QueryFilter
+              .matchingDocs(querySession, seg.dir, f).select($"docId"),
+            Seq("docId"), "left_semi")
+      }
       .as[(Long, Int, Int, Int, Int)]
     Searcher.gatedJob {
       filteredRuns(seg, idfMap.keySet).groupByKey(_.salt)

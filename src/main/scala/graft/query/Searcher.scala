@@ -306,10 +306,94 @@ class Searcher(spark: SparkSession, indexDir: String) {
     */
   var NormsMaxDocs: Long = 1L << 31
 
-  def search(query: String, k: Int, fields: Seq[String] = DefaultFields): Array[Hit] =
-    if (meta.nDocs <= NormsMaxDocs && tombstoneCount <= TombstonesMaxBroadcast)
-      searchBroadcast(query, k, fields)
-    else searchShuffle(query, k, fields)
+  // ---- filter queries (Solr q + fq — the reference consumer's dominant
+  // query shape: every catalog search carries visibility/type filters) ----
+
+  /** Matching-doc cutoff for the broadcast fq regime: below it the filter
+    * set rides as a sorted docId array (8 B/id, binary-search membership
+    * fused into the kernel's exclusion predicate — the liveDocs shape
+    * tombstones already use); above it the query routes to the shuffle
+    * strategy where the fq set SEMI-joins the docstats side distributively
+    * and nothing is ever driver-materialized.
+    */
+  var FqMaxBroadcast: Long = 1L << 23
+
+  /** Solr-filterCache analog: resolved fq -> (count, broadcast) entries,
+    * bounded LRU. Eviction drops the MAP entry only — the evicted broadcast
+    * stays in the [[close]] inventory rather than being destroyed under a
+    * possibly in-flight query (the realistic working set is a handful of
+    * hot visibility filters, so eviction is rare by construction).
+    */
+  var FqCacheMaxEntries: Int = 64
+
+  /** Resolved filter query: matching-doc count + sorted-array broadcast
+    * (None beyond [[FqMaxBroadcast]] — the semi-join regime).
+    */
+  private case class FqSet(count: Long, sorted: Option[Broadcast[Array[Long]]])
+
+  private val fqCache =
+    new java.util.LinkedHashMap[String, FqSet](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, FqSet]): Boolean =
+        size() > FqCacheMaxEntries
+    }
+  private val fqInFlight = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[FqSet]]()
+  /** fq resolution jobs issued (tests assert repeat fqs stay cached). */
+  private[graft] val fqResolves = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Resolve an fq once per searcher (concurrent misses on the same fq share
+    * one resolution — same in-flight pattern as [[DictProbe]]).
+    */
+  private def resolveFq(fqs: String): FqSet = {
+    val hit = fqCache.synchronized(fqCache.get(fqs))
+    if (hit != null) return hit
+    val fut = new java.util.concurrent.CompletableFuture[FqSet]()
+    val prior = fqInFlight.putIfAbsent(fqs, fut)
+    if (prior != null) prior.join()
+    else
+      try {
+        fqResolves.incrementAndGet()
+        val docs = graft.index.QueryFilter
+          .matchingDocs(querySession, indexDir, fqs).select($"docId")
+        val n = docs.count()
+        val set =
+          if (n <= FqMaxBroadcast) {
+            val arr = docs.as[Long].collect()
+            java.util.Arrays.sort(arr)
+            FqSet(n, Some(track(spark.sparkContext.broadcast(arr))))
+          } else FqSet(n, None)
+        fqCache.synchronized(fqCache.put(fqs, set))
+        fut.complete(set)
+        set
+      } catch {
+        case t: Throwable => fut.completeExceptionally(t); throw t
+      } finally fqInFlight.remove(fqs, fut)
+  }
+
+  /** Ranked retrieval, optionally constrained to an fq's matching docs
+    * (Solr `q` + `fq` semantics: the filter never contributes to the score —
+    * BM25 ranks exactly as without it; the filter gates which docs may
+    * enter the top-k INSIDE the kernel, so k results are returned whenever
+    * k matching docs exist, never a post-filtered underfill). WAND pruning
+    * stays admissible: the filter only suppresses heap offers, so the
+    * threshold is never higher than the unfiltered run's.
+    */
+  def search(query: String, k: Int, fields: Seq[String] = DefaultFields,
+             fq: Option[String] = None): Array[Hit] = fq match {
+    case None =>
+      if (meta.nDocs <= NormsMaxDocs && tombstoneCount <= TombstonesMaxBroadcast)
+        searchBroadcast(query, k, fields)
+      else searchShuffle(query, k, fields)
+    case Some(f) =>
+      val set = resolveFq(f)
+      if (set.count == 0) Array.empty
+      else set.sorted match {
+        case Some(bc)
+          if meta.nDocs <= NormsMaxDocs && tombstoneCount <= TombstonesMaxBroadcast =>
+          searchBroadcast(query, k, fields, Some(bc))
+        case _ => searchShuffle(query, k, fields, fq)
+      }
+  }
 
   /** Cutoff (postings) below which the query runs its kernel on the driver.
     * Mutable so tests can force the distributed branch.
@@ -320,7 +404,8 @@ class Searcher(spark: SparkSession, indexDir: String) {
     * the driver (small queries: one collect job, no shuffle at all) or via a
     * groupByKey of the term-filtered runs (tiny shuffle; docstats never move).
     */
-  def searchBroadcast(query: String, k: Int, fields: Seq[String] = DefaultFields): Array[Hit] = {
+  def searchBroadcast(query: String, k: Int, fields: Seq[String] = DefaultFields,
+                      fqBc: Option[Broadcast[Array[Long]]] = None): Array[Hit] = {
     plan(query, fields) match {
       case None => Array.empty
       case Some((cls, idfMap, minMatch, postings)) =>
@@ -329,22 +414,24 @@ class Searcher(spark: SparkSession, indexDir: String) {
         if (postings <= DriverKernelMaxPostings) {
           val nt = normsBc.value // local value; no broadcast needed on driver
           val runs = fetchRuns(idfMap.keySet)
-          val del = Searcher.deletedFn(tombstonesBc.value)
+          val excl = Searcher.excludedFn(tombstonesBc.value, fqBc.map(_.value).orNull)
           val localHits = runs.groupBy(_.salt).valuesIterator.flatMap { rs =>
             Kernel.scoreSalt(rs, (fi, d) => nt.quantLen(fi, d),
-              cls, fieldArr, idfMap, avgLen, minMatch, k, del)
+              cls, fieldArr, idfMap, avgLen, minMatch, k, excl)
           }.toArray
           merge(localHits, k)
         } else {
           val bc = normsBc
           val tsBc = tombstonesBc
+          val fqB = fqBc // local val: the closure must not capture `this`
           val localHits = Searcher.gatedJob {
             filteredRuns(idfMap.keySet)
               .groupByKey(_.salt)
               .flatMapGroups { (_, it) =>
                 val nt = bc.value
                 Kernel.scoreSalt(it.toArray, (fi, d) => nt.quantLen(fi, d),
-                  cls, fieldArr, idfMap, avgLen, minMatch, k, Searcher.deletedFn(tsBc.value))
+                  cls, fieldArr, idfMap, avgLen, minMatch, k,
+                  Searcher.excludedFn(tsBc.value, fqB.map(_.value).orNull))
               }
               .collect()
           }
@@ -363,20 +450,28 @@ class Searcher(spark: SparkSession, indexDir: String) {
     * Results are identical to calling [[search]] per query, in order.
     */
   def searchMany(queries: Seq[String], k: Int,
-                 fields: Seq[String] = DefaultFields): Seq[Array[Hit]] = {
+                 fields: Seq[String] = DefaultFields,
+                 fq: Option[String] = None): Seq[Array[Hit]] = {
+    // one fq resolution for the whole batch (cached for the next one)
+    val fqSet = fq.map(resolveFq)
+    if (fqSet.exists(_.count == 0)) return queries.map(_ => Array.empty[Hit])
+    val fqBc = fqSet.flatMap(_.sorted)
+    def one(q: String): Array[Hit] =
+      if (fq.isDefined && fqBc.isEmpty) searchShuffle(q, k, fields, fq)
+      else searchBroadcast(q, k, fields, fqBc)
     val prefetch = queries.flatMap(q => plan(q, fields)).flatMap {
       case (_, idfMap, _, postings) =>
         if (postings <= DriverKernelMaxPostings) idfMap.keySet
         else Set.empty[(String, String)]
     }.toSet
     if (prefetch.nonEmpty) fetchRuns(prefetch)
-    if (queries.lengthCompare(1) <= 0) queries.map(q => searchBroadcast(q, k, fields))
+    if (queries.lengthCompare(1) <= 0) queries.map(one)
     else {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext = Searcher.kernelPool
       Await.result(
-        Future.sequence(queries.map(q => Future(searchBroadcast(q, k, fields)))),
+        Future.sequence(queries.map(q => Future(one(q)))),
         Duration.Inf)
     }
   }
@@ -400,7 +495,15 @@ class Searcher(spark: SparkSession, indexDir: String) {
     * posting volume plus ONE job floor, not batch size.
     */
   def searchManyDistributed(queries: Seq[String], k: Int,
-                            fields: Seq[String] = DefaultFields): Seq[Array[Hit]] = {
+                            fields: Seq[String] = DefaultFields,
+                            fq: Option[String] = None): Seq[Array[Hit]] = {
+    // ONE fq for the whole batch (the bulk-probe shape: score a million
+    // quality queries WITHIN the lang:en slice) — resolved once, riding the
+    // job as either the broadcast predicate or the docstats semi-join
+    val fqSet = fq.map(resolveFq)
+    if (fqSet.exists(_.count == 0)) return queries.map(_ => Array.empty[Hit])
+    val fqBcOpt = fqSet.flatMap(_.sorted)
+    val fqSemiJoin = fq.isDefined && fqBcOpt.isEmpty
     val planned = queries.map(q => plan(q, fields))
     val plans = planned.zipWithIndex.collect {
       case (Some((cls, idf, mm, _)), qi) => BatchPlan(qi, cls, idf, mm)
@@ -413,9 +516,11 @@ class Searcher(spark: SparkSession, indexDir: String) {
     val plansBc = spark.sparkContext.broadcast(plans)
     val tagged: Array[(Int, Hit)] =
       try {
-        if (meta.nDocs <= NormsMaxDocs && tombstoneCount <= TombstonesMaxBroadcast) {
+        if (!fqSemiJoin &&
+            meta.nDocs <= NormsMaxDocs && tombstoneCount <= TombstonesMaxBroadcast) {
           val bc = normsBc
           val tsBc = tombstonesBc
+          val fqB = fqBcOpt // local val: the closure must not capture `this`
           Searcher.gatedJob {
             filteredRuns(allKeys)
               .groupByKey(_.salt)
@@ -423,14 +528,20 @@ class Searcher(spark: SparkSession, indexDir: String) {
                 val nt = bc.value
                 Searcher.scoreBatch(it.toArray, plansBc.value,
                   (fi, d) => nt.quantLen(fi, d), fieldArr, avgLen, kk,
-                  Searcher.deletedFn(tsBc.value))
+                  Searcher.excludedFn(tsBc.value, fqB.map(_.value).orNull))
               }
               .collect()
           }
         } else {
-          val stats = graft.index.Tombstones.exclude(querySession, indexDir,
-              querySession.read.parquet(s"$indexDir/docstats")
-                .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))
+          val stats = fq.foldLeft(
+              graft.index.Tombstones.exclude(querySession, indexDir,
+                querySession.read.parquet(s"$indexDir/docstats")
+                  .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))) {
+              (df, f) =>
+                df.join(graft.index.QueryFilter
+                    .matchingDocs(querySession, indexDir, f).select($"docId"),
+                  Seq("docId"), "left_semi")
+            }
             .as[(Long, Int, Int, Int, Int)]
           Searcher.gatedJob {
             filteredRuns(allKeys).groupByKey(_.salt)
@@ -474,16 +585,27 @@ class Searcher(spark: SparkSession, indexDir: String) {
     * about deletes ever reaches the driver — the mass delete-by-query
     * regime.
     */
-  def searchShuffle(query: String, k: Int, fields: Seq[String] = DefaultFields): Array[Hit] = {
+  def searchShuffle(query: String, k: Int, fields: Seq[String] = DefaultFields,
+                    fq: Option[String] = None): Array[Hit] = {
     plan(query, fields) match {
       case None => Array.empty
       case Some((cls, idfMap, minMatch, _)) =>
         val avgLen = meta.avgLen
         val fieldArr = DefaultFields.toArray
-        val stats = graft.index.Tombstones.exclude(querySession, indexDir,
-            querySession.read.parquet(s"$indexDir/docstats")
-              .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))
-          .as[(Long, Int, Int, Int, Int)]
+        // fq regime beyond the broadcast bound: the filter set SEMI-joins
+        // the docstats side (both distributed; AQE picks the join shape), so
+        // "no surviving docstats row" uniformly means tombstoned OR
+        // filtered out — the kernel's existing exclusion handles both
+        val filtered = fq.foldLeft(
+            graft.index.Tombstones.exclude(querySession, indexDir,
+              querySession.read.parquet(s"$indexDir/docstats")
+                .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))) {
+          (df, f) =>
+            df.join(graft.index.QueryFilter
+                .matchingDocs(querySession, indexDir, f).select($"docId"),
+              Seq("docId"), "left_semi")
+        }
+        val stats = filtered.as[(Long, Int, Int, Int, Int)]
         val localHits = Searcher.gatedJob { filteredRuns(idfMap.keySet).groupByKey(_.salt)
           .cogroup(stats.groupByKey(_._2)) { case (_, runIt, statIt) =>
             val runs = runIt.toArray
@@ -524,8 +646,9 @@ class Searcher(spark: SparkSession, indexDir: String) {
   /** Hits joined with document identity — the user-facing result shape
     * (`fl=*,score`, /root/reference/solr/config/solrconfig.xml:124-127).
     */
-  def searchDF(query: String, k: Int, fields: Seq[String] = DefaultFields): DataFrame = {
-    val hits = search(query, k, fields)
+  def searchDF(query: String, k: Int, fields: Seq[String] = DefaultFields,
+               fq: Option[String] = None): DataFrame = {
+    val hits = search(query, k, fields, fq)
     val hitsDF = spark.createDataFrame(hits.zipWithIndex.map { case (h, i) =>
       (h.docId, h.score, i + 1)
     }).toDF("docId", "score", "rank")
@@ -544,6 +667,16 @@ object Searcher {
   private[query] def deletedFn(ts: Array[Long]): Long => Boolean =
     if (ts.isEmpty) _ => false
     else d => java.util.Arrays.binarySearch(ts, d) >= 0
+
+  /** Kernel exclusion predicate: tombstoned OR (when an fq rides along)
+    * outside the filter's sorted docId set. STATIC like [[deletedFn]] so
+    * executor closures capture two small arrays, never a Searcher.
+    */
+  private[query] def excludedFn(ts: Array[Long], fqSorted: Array[Long]): Long => Boolean = {
+    val del = deletedFn(ts)
+    if (fqSorted == null) del
+    else d => del(d) || java.util.Arrays.binarySearch(fqSorted, d) < 0
+  }
 
   /** SQL conf applied to every searcher's dedicated query session (read at
     * that searcher's first kernel job; set before constructing searchers to
