@@ -78,7 +78,10 @@ class FilteredSearchSpec extends AnyFunSuite {
     dist.DriverKernelMaxPostings = 0
     val shuf = new Searcher(spark, tmp)
     shuf.NormsMaxDocs = 0 // semi-join regime via searchShuffle
-    for (q <- queries; f <- fqs.take(3)) {
+    // distributed routes cost a Spark job per (q, fq): two queries spanning
+    // head-term and multi-term mm shapes x three fq grammar shapes keep the
+    // route-identity gate while bounding suite wall time
+    for (q <- queries.take(2); f <- fqs.take(3)) {
       val expect = base.search(q, 10, fq = Some(f)).toSeq
       assert(dist.search(q, 10, fq = Some(f)).toSeq == expect, s"dist q='$q' fq='$f'")
       assert(shuf.search(q, 10, fq = Some(f)).toSeq == expect, s"shuf q='$q' fq='$f'")
@@ -90,7 +93,7 @@ class FilteredSearchSpec extends AnyFunSuite {
     val big = new Searcher(spark, tmp)
     big.FqMaxBroadcast = 0 // every fq routes to the docstats semi-join
     val bc = new Searcher(spark, tmp)
-    for (q <- queries.take(2); f <- fqs) {
+    for (q <- queries.take(2); f <- fqs.take(3)) {
       assert(big.search(q, 10, fq = Some(f)).toSeq ==
         bc.search(q, 10, fq = Some(f)).toSeq, s"q='$q' fq='$f'")
     }
