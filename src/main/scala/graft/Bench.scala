@@ -219,6 +219,13 @@ object Bench {
     val sorted = cold.sorted
     val warm = minPerQuery(Seq.fill(3)(
       BenchQueries.map(q => time(searcher.search(q, 10))._2))).sorted
+    // q+fq (warm regime): the filter resolves once (filterCache analog),
+    // then rides the kernel as a broadcast membership predicate — the delta
+    // vs plain warm p50 IS the fq overhead a filtered service pays per query
+    val fqStr = Some("lang:scala OR lang:java")
+    searcher.search(BenchQueries.head, 10, fq = fqStr) // resolve + broadcast, untimed
+    val warmFq = minPerQuery(Seq.fill(3)(
+      BenchQueries.map(q => time(searcher.search(q, 10, fq = fqStr))._2))).sorted
 
     val base = Map(
       "ix_build_sec" -> tBuild,
@@ -226,6 +233,7 @@ object Bench {
       "ix_query_p50_ms" -> sorted(sorted.length / 2) * 1000,
       "ix_query_max_ms" -> sorted.last * 1000,
       "ix_query_p50_ms_warm" -> warm(warm.length / 2) * 1000,
+      "ix_query_p50_ms_fq" -> warmFq(warmFq.length / 2) * 1000,
       "ix_spin_sentinel_ms" -> sentinelMs,
       "ix_spin_sentinel_mt_ms" -> sentinelMtMs)
     if (!full) {
