@@ -301,6 +301,28 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style within-document repetition: fraction of DUPLICATE word
+    // n-grams (2- and 3-grams) — the canonical pre-training quality gate
+    // the length/alpha ratios can't see (boilerplate and template spam
+    // repeat n-grams at perfectly normal length/alpha). Map-only; shares
+    // Dedup.shingles with the minhash family.
+    "q_quality_repetition" -> ((s, dir) => {
+      val w = split(lower(trim(col("text"))), "\\s+")
+      def dupRatio(n: Int) = {
+        val grams = graft.ops.Dedup.shingles(w, n)
+        when(size(grams) > 0,
+          round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6))
+          .otherwise(lit(0.0))
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(w).as("n_words"),
+          dupRatio(2).as("dup_2gram_ratio"),
+          dupRatio(3).as("dup_3gram_ratio"))
+        .withColumn("is_repetitive",
+          col("dup_2gram_ratio") > 0.15 || col("dup_3gram_ratio") > 0.05)
+        .orderBy(col("doc_id"))
+    }),
+
     // language-ID: stopword-overlap heuristic
     "q_langid" -> ((s, dir) => {
       val words = split(lower(col("text")), "\\s+")
@@ -783,6 +805,25 @@ object RelationalQueries {
         |   AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 2 > length(text))
         |    AS is_quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id, len(w) AS n_words,
+        |  CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1]) ELSE [] END AS g2,
+        |  CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END AS g3
+        |  FROM w)
+        |SELECT doc_id, n_words,
+        |  CASE WHEN len(g2) > 0
+        |    THEN round(1 - len(list_distinct(g2)) * 1.0 / len(g2), 6)
+        |    ELSE 0.0 END AS dup_2gram_ratio,
+        |  CASE WHEN len(g3) > 0
+        |    THEN round(1 - len(list_distinct(g3)) * 1.0 / len(g3), 6)
+        |    ELSE 0.0 END AS dup_3gram_ratio,
+        |  (dup_2gram_ratio > 0.15 OR dup_3gram_ratio > 0.05) AS is_repetitive
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_langid" ->
       """SELECT doc_id, s_en, s_es, s_de, CASE
