@@ -38,12 +38,19 @@ class LifecycleSpec extends AnyFunSuite {
 
     // --- generation 0 + the score-identity reference the whole drill must
     // preserve (layout-independent: score sequences per query)
-    val queries = Seq("buffer", "binary search tree implementation",
-      "def class import return")
+    // mix includes a FILTERED query: fq evaluates per segment, so identity
+    // across the 5-delta and 1-compacted generations gates the per-segment
+    // filter semantics through the swap, and close() must release the fq
+    // broadcasts with the rest
+    val queries = Seq(("buffer", None), ("binary search tree implementation", None),
+      ("def class import return", None),
+      ("buffer", Some("lang:scala OR lang:java")))
     @volatile var current = new MultiSearcher(spark, deltas)
     val gen0 = current
-    val expected: Map[String, Seq[Double]] =
-      queries.map(q => q -> current.search(q, 10).toSeq.map(_.score)).toMap
+    val expected: Map[(String, Option[String]), Seq[Double]] =
+      queries.map { case (q, f) =>
+        (q, f) -> current.search(q, 10, fq = f).toSeq.map(_.score)
+      }.toMap
 
     // --- concurrent reader: hammers the CURRENT generation until stopped,
     // recording any divergence; tracks in-flight so close() can wait
@@ -57,9 +64,9 @@ class LifecycleSpec extends AnyFunSuite {
         val gen = current // pin one generation per iteration
         inFlight.incrementAndGet()
         try {
-          val q = queries(i % queries.size)
-          val got = gen.search(q, 10).toSeq.map(_.score)
-          if (got != expected(q)) failures.add(s"[$q] $got != ${expected(q)}")
+          val (q, f) = queries(i % queries.size)
+          val got = gen.search(q, 10, fq = f).toSeq.map(_.score)
+          if (got != expected((q, f))) failures.add(s"[$q fq=$f] $got != ${expected((q, f))}")
         } catch {
           case t: Throwable => failures.add(s"reader threw: $t")
         } finally inFlight.decrementAndGet()
@@ -107,8 +114,9 @@ class LifecycleSpec extends AnyFunSuite {
     assert(iterations.get() >= 9, "reader must have run throughout the drill")
 
     // final state: one compacted generation answers identically, then closes
-    queries.foreach { q =>
-      assert(gen1.search(q, 10).toSeq.map(_.score) == expected(q), s"[$q] after retire")
+    queries.foreach { case (q, f) =>
+      assert(gen1.search(q, 10, fq = f).toSeq.map(_.score) == expected((q, f)),
+        s"[$q fq=$f] after retire")
     }
     gen1.close()
     assert(gen1.liveBroadcastCount == 0)
