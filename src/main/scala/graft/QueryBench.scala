@@ -72,6 +72,17 @@ object QueryBench {
     shuf.NormsMaxDocs = 0
     measure("docstats-cogroup shuffle", q => shuf.search(q, 10))
 
+    // ---- q + fq (Solr filter query) on each regime: broadcast predicate
+    // (resolved once, rides the kernel) vs forced semi-join (filter set
+    // joins docstats per query) ----
+    val fqStr = Some("lang:scala OR lang:java")
+    measure("driver-local kernel + fq", q => local.search(q, 10, fq = fqStr))
+    measure("distributed bcast + fq", q => dist.search(q, 10, fq = fqStr))
+    val fqSemi = new Searcher(spark, baseDir)
+    fqSemi.FqMaxBroadcast = 0 // every fq routes to the docstats semi-join
+    measure("fq semi-join regime", q => fqSemi.search(q, 10, fq = fqStr))
+    fqSemi.close()
+
     // ---- batched throughput ----
     val words = qs.flatMap(_.split(" ")).distinct
     val batch = (0 until 64).map(i =>

@@ -89,6 +89,12 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
       Searcher.destroyQuietly(bc)
       bc = liveBroadcasts.poll()
     }
+    var df = livePersists.poll()
+    while (df != null) {
+      try df.unpersist()
+      catch { case scala.util.control.NonFatal(_) => }
+      df = livePersists.poll()
+    }
   }
 
   val DefaultFields: Seq[String] = Seq("content", "path", "repo")
@@ -147,7 +153,12 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     */
   var FqCacheMaxEntries: Int = 64
 
-  private case class FqSet(count: Long, sorted: Option[Broadcast[Array[Long]]])
+  private case class FqSet(count: Long, sorted: Option[Broadcast[Array[Long]]],
+                           docs: Option[org.apache.spark.sql.DataFrame])
+
+  /** Persisted fq match sets (unpersist on close — in-flight-safe). */
+  private val livePersists =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.DataFrame]()
 
   private val fqCache =
     new java.util.LinkedHashMap[(String, String), FqSet](16, 0.75f, true) {
@@ -167,15 +178,22 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     if (prior != null) prior.join()
     else
       try {
+        // persist BEFORE the count: the count job doubles as cache
+        // materialization; small sets collect from the cache and release it
         val docs = graft.index.QueryFilter
           .matchingDocs(querySession, seg.dir, fqs).select($"docId")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = docs.count()
         val set =
           if (n <= FqMaxBroadcast) {
             val arr = docs.as[Long].collect()
             java.util.Arrays.sort(arr)
-            FqSet(n, Some(track(spark.sparkContext.broadcast(arr))))
-          } else FqSet(n, None)
+            docs.unpersist()
+            FqSet(n, Some(track(spark.sparkContext.broadcast(arr))), None)
+          } else {
+            livePersists.add(docs)
+            FqSet(n, None, Some(docs))
+          }
         fqCache.synchronized(fqCache.put(key, set))
         fut.complete(set)
         set
@@ -272,7 +290,7 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
           val segHits: Iterator[Hit] =
             if (fqSemi || seg.meta.nDocs > NormsMaxDocs ||
                 seg.tombstoneCount > TombstonesMaxBroadcast)
-              searchSegmentShuffle(seg, cls, fieldArr, idfMap, avg, minMatch, k, fq)
+              searchSegmentShuffle(seg, cls, fieldArr, idfMap, avg, minMatch, k, segFq)
             else if (segPostings > DriverKernelMaxPostings)
               searchSegmentDistributed(seg, cls, fieldArr, idfMap, avg, minMatch, k, fqBc)
             else
@@ -354,7 +372,7 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
           val local: Array[(Int, Hit)] =
             if (fqSemi || seg.meta.nDocs > NormsMaxDocs ||
                 seg.tombstoneCount > TombstonesMaxBroadcast)
-              batchSegmentShuffle(seg, plansBc, segKeys, fieldArr, avg, k, fq)
+              batchSegmentShuffle(seg, plansBc, segKeys, fieldArr, avg, k, segFq)
             else if (segPostings > DriverKernelMaxPostings)
               batchSegmentDistributed(seg, plansBc, segKeys, fieldArr, avg, k, fqBc)
             else
@@ -416,15 +434,13 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
   private def batchSegmentShuffle(seg: Segment, plansBc: Broadcast[Array[BatchPlan]],
       segKeys: Set[(String, String)], fieldArr: Array[String],
       avg: Map[String, Double], k: Int,
-      fq: Option[String] = None): Array[(Int, Hit)] = {
-    val stats = fq.foldLeft(
+      fqSet: Option[FqSet] = None): Array[(Int, Hit)] = {
+    val fqB = fqSet.flatMap(_.sorted)
+    val stats = fqSet.flatMap(_.docs).foldLeft(
         graft.index.Tombstones.exclude(querySession, seg.dir,
           querySession.read.parquet(s"${seg.dir}/docstats")
             .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))) {
-        (df, f) =>
-          df.join(graft.index.QueryFilter
-              .matchingDocs(querySession, seg.dir, f).select($"docId"),
-            Seq("docId"), "left_semi")
+        (df, cached) => df.join(cached, Seq("docId"), "left_semi")
       }
       .as[(Long, Int, Int, Int, Int)]
     Searcher.gatedJob {
@@ -446,8 +462,10 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
                 SmallFloat.quantizeLength(len)
               case None => 1 // tombstoned: discarded via `deleted`
             }
+            val fqArr = fqB.map(_.value).orNull
             Searcher.scoreBatch(runs, plansBc.value, ql, fieldArr, avg, k,
-              d => !ids.contains(d))
+              d => !ids.contains(d) ||
+                (fqArr != null && java.util.Arrays.binarySearch(fqArr, d) < 0))
           }
         }
         .collect()
@@ -513,15 +531,16 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     */
   private def searchSegmentShuffle(seg: Segment, cls: Array[Clause], fieldArr: Array[String],
       idfMap: Map[(String, String), Double], avg: Map[String, Double],
-      minMatch: Int, k: Int, fq: Option[String] = None): Iterator[Hit] = {
-    val stats = fq.foldLeft(
+      minMatch: Int, k: Int, fqSet: Option[FqSet] = None): Iterator[Hit] = {
+    // big-fq: the PERSISTED per-segment resolution semi-joins docstats
+    // (resolve-once); a broadcastable fq that lands here because the
+    // SEGMENT routed to shuffle rides the kernel predicate instead
+    val fqB = fqSet.flatMap(_.sorted)
+    val stats = fqSet.flatMap(_.docs).foldLeft(
         graft.index.Tombstones.exclude(querySession, seg.dir,
           querySession.read.parquet(s"${seg.dir}/docstats")
             .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))) {
-        (df, f) =>
-          df.join(graft.index.QueryFilter
-              .matchingDocs(querySession, seg.dir, f).select($"docId"),
-            Seq("docId"), "left_semi")
+        (df, cached) => df.join(cached, Seq("docId"), "left_semi")
       }
       .as[(Long, Int, Int, Int, Int)]
     Searcher.gatedJob {
@@ -545,8 +564,10 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
                 SmallFloat.quantizeLength(len)
               case None => 1 // tombstoned: scored then discarded via `deleted`
             }
+            val fqArr = fqB.map(_.value).orNull
             Kernel.scoreSalt(runs, ql, cls, fieldArr, idfMap, avg, minMatch, k,
-              d => !ids.contains(d))
+              d => !ids.contains(d) ||
+                (fqArr != null && java.util.Arrays.binarySearch(fqArr, d) < 0))
           }
         }
         .collect()

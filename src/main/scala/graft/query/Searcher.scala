@@ -203,6 +203,12 @@ class Searcher(spark: SparkSession, indexDir: String) {
       Searcher.destroyQuietly(bc)
       bc = liveBroadcasts.poll()
     }
+    var df = livePersists.poll()
+    while (df != null) {
+      try df.unpersist()
+      catch { case scala.util.control.NonFatal(_) => }
+      df = livePersists.poll()
+    }
   }
 
   /** Dense norms broadcast once per searcher. */
@@ -327,9 +333,21 @@ class Searcher(spark: SparkSession, indexDir: String) {
   var FqCacheMaxEntries: Int = 64
 
   /** Resolved filter query: matching-doc count + sorted-array broadcast
-    * (None beyond [[FqMaxBroadcast]] — the semi-join regime).
+    * (below [[FqMaxBroadcast]]) or a PERSISTED docId DataFrame (above it —
+    * the semi-join regime; persisting makes the filter resolve-once like
+    * Solr's filterCache instead of re-deriving the match set per query,
+    * measured 970 -> ~400 ms p50 at 200k docs). Exactly one of the two is
+    * set. Unpersist/destroy happens via [[close]]'s inventories.
     */
-  private case class FqSet(count: Long, sorted: Option[Broadcast[Array[Long]]])
+  private case class FqSet(count: Long, sorted: Option[Broadcast[Array[Long]]],
+                           docs: Option[DataFrame])
+
+  /** Persisted fq match-set DataFrames ([[close]] inventory — unpersist is
+    * in-flight-safe, unlike broadcast destroy: a concurrent query just
+    * recomputes the missing blocks).
+    */
+  private val livePersists =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   private val fqCache =
     new java.util.LinkedHashMap[String, FqSet](16, 0.75f, true) {
@@ -353,15 +371,22 @@ class Searcher(spark: SparkSession, indexDir: String) {
     else
       try {
         fqResolves.incrementAndGet()
+        // persist BEFORE the count so the count job doubles as cache
+        // materialization; small sets collect from the cache and release it
         val docs = graft.index.QueryFilter
           .matchingDocs(querySession, indexDir, fqs).select($"docId")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = docs.count()
         val set =
           if (n <= FqMaxBroadcast) {
             val arr = docs.as[Long].collect()
             java.util.Arrays.sort(arr)
-            FqSet(n, Some(track(spark.sparkContext.broadcast(arr))))
-          } else FqSet(n, None)
+            docs.unpersist()
+            FqSet(n, Some(track(spark.sparkContext.broadcast(arr))), None)
+          } else {
+            livePersists.add(docs)
+            FqSet(n, None, Some(docs))
+          }
         fqCache.synchronized(fqCache.put(fqs, set))
         fut.complete(set)
         set
@@ -533,14 +558,15 @@ class Searcher(spark: SparkSession, indexDir: String) {
               .collect()
           }
         } else {
-          val stats = fq.foldLeft(
+          // big-fq regime: the PERSISTED resolution semi-joins docstats
+          // (resolve-once); a broadcastable fq that lands here because the
+          // corpus routed to shuffle rides the kernel predicate instead
+          val fqB = fqBcOpt
+          val stats = fqSet.flatMap(_.docs).foldLeft(
               graft.index.Tombstones.exclude(querySession, indexDir,
                 querySession.read.parquet(s"$indexDir/docstats")
                   .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))) {
-              (df, f) =>
-                df.join(graft.index.QueryFilter
-                    .matchingDocs(querySession, indexDir, f).select($"docId"),
-                  Seq("docId"), "left_semi")
+              (df, cached) => df.join(cached, Seq("docId"), "left_semi")
             }
             .as[(Long, Int, Int, Int, Int)]
           Searcher.gatedJob {
@@ -564,8 +590,10 @@ class Searcher(spark: SparkSession, indexDir: String) {
                       SmallFloat.quantizeLength(len)
                     case None => 1 // tombstoned: discarded via `deleted`
                   }
+                  val fqArr = fqB.map(_.value).orNull
                   Searcher.scoreBatch(runs, plansBc.value, ql, fieldArr,
-                    avgLen, kk, d => !ids.contains(d))
+                    avgLen, kk, d => !ids.contains(d) ||
+                      (fqArr != null && java.util.Arrays.binarySearch(fqArr, d) < 0))
                 }
               }
               .collect()
@@ -587,23 +615,24 @@ class Searcher(spark: SparkSession, indexDir: String) {
     */
   def searchShuffle(query: String, k: Int, fields: Seq[String] = DefaultFields,
                     fq: Option[String] = None): Array[Hit] = {
+    // fq on the shuffle strategy, two shapes: a broadcastable set rides the
+    // kernel as the sorted-array predicate (no extra join at all); a bigger
+    // set SEMI-joins the docstats side from its PERSISTED resolution
+    // (resolve-once, like Solr's filterCache), so "no surviving docstats
+    // row" uniformly means tombstoned OR filtered out
+    val fqSet = fq.map(resolveFq)
+    if (fqSet.exists(_.count == 0)) return Array.empty
+    val fqB = fqSet.flatMap(_.sorted)
     plan(query, fields) match {
       case None => Array.empty
       case Some((cls, idfMap, minMatch, _)) =>
         val avgLen = meta.avgLen
         val fieldArr = DefaultFields.toArray
-        // fq regime beyond the broadcast bound: the filter set SEMI-joins
-        // the docstats side (both distributed; AQE picks the join shape), so
-        // "no surviving docstats row" uniformly means tombstoned OR
-        // filtered out — the kernel's existing exclusion handles both
-        val filtered = fq.foldLeft(
+        val filtered = fqSet.flatMap(_.docs).foldLeft(
             graft.index.Tombstones.exclude(querySession, indexDir,
               querySession.read.parquet(s"$indexDir/docstats")
                 .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))) {
-          (df, f) =>
-            df.join(graft.index.QueryFilter
-                .matchingDocs(querySession, indexDir, f).select($"docId"),
-              Seq("docId"), "left_semi")
+          (df, cached) => df.join(cached, Seq("docId"), "left_semi")
         }
         val stats = filtered.as[(Long, Int, Int, Int, Int)]
         val localHits = Searcher.gatedJob { filteredRuns(idfMap.keySet).groupByKey(_.salt)
@@ -627,8 +656,10 @@ class Searcher(spark: SparkSession, indexDir: String) {
                   SmallFloat.quantizeLength(len)
                 case None => 1 // tombstoned doc: scored then discarded below
               }
+              val fqArr = fqB.map(_.value).orNull
               Kernel.scoreSalt(runs, ql, cls, fieldArr, idfMap, avgLen,
-                minMatch, k, d => !ids.contains(d))
+                minMatch, k, d => !ids.contains(d) ||
+                  (fqArr != null && java.util.Arrays.binarySearch(fqArr, d) < 0))
             }
           }
           .collect()
