@@ -159,6 +159,7 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
   /** Persisted fq match sets (unpersist on close — in-flight-safe). */
   private val livePersists =
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.DataFrame]()
+  private[graft] def livePersistCount: Int = livePersists.size()
 
   private val fqCache =
     new java.util.LinkedHashMap[(String, String), FqSet](16, 0.75f, true) {

@@ -348,6 +348,7 @@ class Searcher(spark: SparkSession, indexDir: String) {
     */
   private val livePersists =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private[graft] def livePersistCount: Int = livePersists.size()
 
   private val fqCache =
     new java.util.LinkedHashMap[String, FqSet](16, 0.75f, true) {

@@ -97,7 +97,14 @@ class FilteredSearchSpec extends AnyFunSuite {
       assert(big.search(q, 10, fq = Some(f)).toSeq ==
         bc.search(q, 10, fq = Some(f)).toSeq, s"q='$q' fq='$f'")
     }
+    // resolve-once lifecycle: one persisted match set per distinct fq,
+    // all released on close() (the filterCache unpersist contract); the
+    // broadcast-regime searcher persists nothing
+    assert(big.livePersistCount == 3, s"expected 3 persisted fq sets, " +
+      s"got ${big.livePersistCount}")
+    assert(bc.livePersistCount == 0, "broadcast regime must not persist")
     big.close(); bc.close()
+    assert(big.livePersistCount == 0, "close() must unpersist every fq set")
   }
 
   test("fq matching nothing returns empty; fq fills k from matching docs only") {
