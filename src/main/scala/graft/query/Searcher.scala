@@ -335,9 +335,10 @@ class Searcher(spark: SparkSession, indexDir: String) {
   /** Resolved filter query: matching-doc count + sorted-array broadcast
     * (below [[FqMaxBroadcast]]) or a PERSISTED docId DataFrame (above it —
     * the semi-join regime; persisting makes the filter resolve-once like
-    * Solr's filterCache instead of re-deriving the match set per query,
-    * measured 970 -> ~400 ms p50 at 200k docs). Exactly one of the two is
-    * set. Unpersist/destroy happens via [[close]]'s inventories.
+    * Solr's filterCache instead of re-deriving the match set per query:
+    * measured 2.7x -> 1.33x the unfiltered shuffle p50 at 200k docs,
+    * BENCH/BASELINE.md). Exactly one of the two is set. Unpersist/destroy
+    * happens via [[close]]'s inventories.
     */
   private case class FqSet(count: Long, sorted: Option[Broadcast[Array[Long]]],
                            docs: Option[DataFrame])
