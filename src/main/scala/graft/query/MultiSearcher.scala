@@ -580,6 +580,38 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     val seg = segments.reverse.find(_.offset <= globalId).get
     (seg.dir, globalId - seg.offset)
   }
+
+  /** Hits joined with document identity across segments — the user-facing
+    * result shape ([[Searcher.searchDF]]'s multisegment analog): each hit's
+    * global docId re-bases into its segment's docstats, identity columns
+    * union across segments, global ids and rank order preserved. One
+    * broadcast join per segment that actually holds hits.
+    */
+  def searchDF(query: String, k: Int, fields: Seq[String] = DefaultFields,
+               fq: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val hits = search(query, k, fields, fq)
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val bySeg = hits.zipWithIndex.groupBy { case (h, _) => locate(h.docId)._1 }
+    val parts = segments.filter(s => bySeg.contains(s.dir)).map { seg =>
+      val segHits = bySeg(seg.dir).map { case (h, i) =>
+        (h.docId - seg.offset, h.docId, h.score, i + 1)
+      }
+      val hitsDF = spark.createDataFrame(segHits.toSeq)
+        .toDF("docId", "globalId", "score", "rank")
+      spark.read.parquet(s"${seg.dir}/docstats")
+        .select("docId", "repo", "path", "commit", "lang", "sha")
+        .join(broadcast(hitsDF), "docId")
+        .select(col("rank"), col("globalId").as("docId"), col("score"),
+          col("repo"), col("path"), col("commit"), col("lang"), col("sha"))
+    }
+    parts match {
+      case Nil =>
+        // empty result with the contract schema
+        spark.createDataFrame(Seq.empty[(Int, Long, Double, String, String, String, String, String)])
+          .toDF("rank", "docId", "score", "repo", "path", "commit", "lang", "sha")
+      case ps => ps.reduce(_.unionByName(_)).orderBy(col("rank"))
+    }
+  }
 }
 
 object MultiSearcher {

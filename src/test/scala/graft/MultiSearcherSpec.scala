@@ -148,6 +148,35 @@ class MultiSearcherSpec extends AnyFunSuite {
     assert(gen2.liveBroadcastCount == 0)
   }
 
+  test("searchDF: multisegment result rows carry correct per-segment identity") {
+    val multi = new MultiSearcher(spark, Seq(segADir, segBDir))
+    val hits = multi.search("buffer", 10)
+    val rows = multi.searchDF("buffer", 10).collect()
+    assert(rows.length == hits.length)
+    val shaA = shaOf(segADir)
+    val shaB = shaOf(segBDir)
+    rows.zip(hits).zipWithIndex.foreach { case ((r, h), i) =>
+      assert(r.getAs[Int]("rank") == i + 1)
+      assert(r.getAs[Long]("docId") == h.docId, "global id preserved")
+      assert(r.getAs[Double]("score") == h.score)
+      val (dir, local) = multi.locate(h.docId)
+      val sha = if (dir == segADir) shaA(local) else shaB(local)
+      assert(r.getAs[String]("sha") == sha, s"row $i resolves its SEGMENT's doc")
+    }
+    // with fq: rows must all satisfy the filter and mirror search(fq)
+    val f = Some("lang:scala OR lang:java")
+    val fHits = multi.search("buffer", 10, fq = f)
+    val fRows = multi.searchDF("buffer", 10, fq = f).collect()
+    assert(fRows.map(_.getAs[Long]("docId")).toSeq == fHits.map(_.docId).toSeq)
+    assert(fRows.forall(r => Set("scala", "java")(r.getAs[String]("lang"))))
+    // no-hit query: empty frame with the contract schema
+    val empty = multi.searchDF("zzz_not_in_vocab_qq", 10)
+    assert(empty.columns.toSeq ==
+      Seq("rank", "docId", "score", "repo", "path", "commit", "lang", "sha"))
+    assert(empty.count() == 0)
+    multi.close()
+  }
+
   test("mergeSegments: compaction without source == fresh build over survivors") {
     import graft.index.IndexOps
     // fresh copies of the two segments so tombstones don't leak to other tests
