@@ -632,6 +632,15 @@ object RelationalQueries {
         .select(col("doc_id"), size(toks).as("n_pieces"),
           array_join(slice(toks, 1, 5), "|").as("head_pieces"))
         .orderBy(col("doc_id"))
+    }),
+
+    // exact-substring span dedup (Lee et al. ACL 2022, distributed via a
+    // span-gram inverted index instead of a suffix array): maximal
+    // cross-doc duplicated 10-token spans + the span-cut text
+    "q_substring_spans" -> ((s, dir) => {
+      graft.ops.SubstringDedup.duplicatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", span = 10)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1098,6 +1107,40 @@ object RelationalQueries {
         |FROM (SELECT doc_id, regexp_extract_all(text,
         |  '(?:''(?:s|t|re|ve|m|ll|d))| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+') AS toks
         |  FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // replays the span-gram construction: mark positions whose 10-gram
+    // occurs in 2+ docs, gaps-and-islands merge, cut covered tokens
+    "q_substring_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |    substr(md5(list_aggregate(w[i:i+9], 'string_agg', ' ')), 1, 16) AS g
+        |  FROM toks, unnest(generate_series(1, len(w) - 9)) AS t(i)
+        |  WHERE len(w) >= 10),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+        |p AS (SELECT doc_id, pos FROM g WHERE g IN (SELECT g FROM dup)),
+        |isl AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM p),
+        |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e
+        |  FROM isl GROUP BY doc_id, grp),
+        |agg AS (SELECT doc_id, count(*)::BIGINT AS n_spans,
+        |    sum(e - s + 1)::BIGINT AS dup_tokens,
+        |    string_agg(s || '-' || e, '|' ORDER BY s) AS spans,
+        |    list(s ORDER BY s) AS ss, list(e ORDER BY s) AS es
+        |  FROM sp GROUP BY doc_id),
+        |cov AS (SELECT doc_id, flatten(list_transform(generate_series(1, len(ss)),
+        |    j -> generate_series(ss[j], es[j]))) AS cov FROM agg)
+        |SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens, a.n_spans, a.dup_tokens,
+        |  a.spans,
+        |  coalesce(array_to_string(list_transform(
+        |    list_filter(generate_series(1, len(t.w)),
+        |      i -> NOT list_contains(c.cov, i)),
+        |    i -> t.w[i]), ' '), '') AS clean_text
+        |FROM toks t JOIN agg a USING (doc_id) JOIN cov c USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin
   )
 }

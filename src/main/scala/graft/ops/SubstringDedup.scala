@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-document duplicated-substring spans — the exact-substring dedup
+  * regime of Lee et al., "Deduplicating Training Data Makes Language Models
+  * Better" (ACL 2022), re-expressed Spark-first. Where the paper builds a
+  * monolithic suffix array, the distributed shape is a span-gram inverted
+  * index: any duplicated substring of >= `span` tokens necessarily contains
+  * a duplicated span-gram, so marking every token position whose span-gram
+  * occurs in MORE THAN ONE document and merging consecutive marked positions
+  * yields the maximal cross-document duplicated spans exactly (at span-token
+  * granularity), with no suffix array and no driver state.
+  *
+  * Plan shape, built for the 100 TB regime:
+  *  1. tokenize + posexplode span-grams — map-only, O(total tokens) rows;
+  *  2. gram -> 64-bit key (first 16 md5 hex chars: engine-portable, and at
+  *     10^10 grams the birthday expectation is a handful of collisions —
+  *     each worth one falsely-marked span, never a lost one);
+  *  3. groupBy(key) keeping min/max docId — ONE shuffle of (16 B key,
+  *     docId, pos), with map-side partial min/max (cheaper than a
+  *     countDistinct: "min doc != max doc" IS "appears in 2+ docs");
+  *  4. semi-join positions against the duplicated keys (the dup set is
+  *     tiny next to the gram stream — AQE broadcasts it);
+  *  5. per-doc sort + run-merge of marked positions into maximal spans —
+  *     collect_list bounded by the doc's own length, merge is a linear
+  *     index-arithmetic pass (no O(n^2) array_contains).
+  *
+  * Self-repetition WITHIN a doc is deliberately out of scope here (that is
+  * the Gopher repetition signal, `q_quality_repetition`); a gram must occur
+  * in two distinct documents to mark its positions.
+  */
+object SubstringDedup {
+
+  /** Per-document maximal cross-document duplicated spans of `span`+ tokens.
+    *
+    * Returns one row per document that HAS at least one duplicated span:
+    * (doc_id, n_tokens, n_spans, dup_tokens, spans "s-e|s-e" 1-based
+    * inclusive token positions, clean_text = the document with every
+    * duplicated span removed — the Lee et al. cut operation).
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      span: Int): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("w"))
+    val grams = toks.filter(size(col("w")) >= span)
+      .select(col("doc_id"), posexplode(Dedup.shingles(col("w"), span)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        substring(md5(col("col")), 1, 16).as("g"))
+    val dup = grams.groupBy("g")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("g")
+    val marked = grams.join(dup, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("ps"))
+
+    // gaps-and-islands over the sorted marked positions: a position starts a
+    // run iff its predecessor isn't marked, ends one iff its successor
+    // isn't; runs pair 1:1 in order, and a run [p..q] covers tokens
+    // [p, q + span - 1]
+    val idx = sequence(lit(1), size(col("ps")))
+    val starts = transform(
+      filter(idx, i => i === 1 ||
+        element_at(col("ps"), i) - element_at(col("ps"), i - 1) > 1),
+      i => element_at(col("ps"), i))
+    val ends = transform(
+      filter(idx, i => i === size(col("ps")) ||
+        element_at(col("ps"), i + 1) - element_at(col("ps"), i) > 1),
+      i => element_at(col("ps"), i))
+    val withSpans = marked.select(col("doc_id"),
+      zip_with(starts, ends,
+        (s, e) => struct(s.as("s"), (e + lit(span) - 1).as("e"))).as("sp"))
+
+    toks.join(withSpans, Seq("doc_id"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(col("sp")).cast("long").as("n_spans"),
+        aggregate(col("sp"), lit(0L),
+          (acc, sp) => acc + sp.getField("e") - sp.getField("s") + 1)
+          .as("dup_tokens"),
+        array_join(transform(col("sp"),
+          sp => concat(sp.getField("s").cast("string"), lit("-"),
+            sp.getField("e").cast("string"))), "|").as("spans"),
+        array_join(transform(
+          filter(sequence(lit(1), size(col("w"))),
+            i => !exists(col("sp"),
+              sp => i >= sp.getField("s") && i <= sp.getField("e"))),
+          i => element_at(col("w"), i)), " ").as("clean_text"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.ops.SubstringDedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the exact-substring span dedup (Lee et al. regime): maximal
+  * cross-doc spans, the cut text, and the cross-doc-only scoping.
+  */
+class SubstringDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)], span: Int) =
+    SubstringDedup.duplicatedSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", span)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+
+  test("planted shared window becomes one maximal span in both docs, cut exactly") {
+    // docs 1 and 2 share tokens "c1..c7" (7 tokens); span=5 marks gram
+    // positions covering exactly that window; singles elsewhere never match
+    val shared = (1 to 7).map(i => s"c$i").mkString(" ")
+    val d1 = s"a1 a2 a3 $shared z1 z2"
+    val d2 = s"b1 $shared y1 y2 y3"
+    val d3 = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"
+    val out = run(Seq((1L, d1), (2L, d2), (3L, d3)), span = 5)
+    assert(out.keySet == Set(1L, 2L))
+    // d1: shared at tokens 4..10 -> gram starts 4,5,6 merge -> span 4-10
+    assert(out(1L) == ((12L, 1L, 7L, "4-10", "a1 a2 a3 z1 z2")))
+    // d2: shared at tokens 2..8 -> span 2-8
+    assert(out(2L) == ((11L, 1L, 7L, "2-8", "b1 y1 y2 y3")))
+  }
+
+  test("within-doc repetition alone is out of scope (cross-doc only)") {
+    val rep = "r1 r2 r3 r4 r5"
+    val out = run(Seq(
+      (1L, s"$rep x1 x2 $rep"),
+      (2L, "q1 q2 q3 q4 q5 q6 q7 q8")), span = 5)
+    assert(out.isEmpty)
+  }
+
+  test("two separated shared windows stay two spans; fully-duplicated doc cuts to empty") {
+    val s1 = (1 to 5).map(i => s"p$i").mkString(" ")
+    val s2 = (1 to 5).map(i => s"q$i").mkString(" ")
+    val out = run(Seq(
+      (1L, s"$s1 m1 m2 m3 $s2"),
+      (2L, s"$s1 n1 n2 n3 n4 $s2"),
+      (3L, s1)), span = 5)
+    // doc 3 IS the first shared window: one span covering everything
+    assert(out(3L) == ((5L, 1L, 5L, "1-5", "")))
+    val (n1, nSpans1, dup1, spans1, clean1) = out(1L)
+    assert((n1, nSpans1, dup1, spans1) == ((13L, 2L, 10L, "1-5|9-13")))
+    assert(clean1 == "m1 m2 m3")
+  }
+
+  test("agrees with a brute-force reference on the testdata corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val span = 8
+    val got = SubstringDedup.duplicatedSpans(docs, "doc_id", "text", span)
+      .collect().map(r => r.getLong(0) -> (r.getString(4), r.getString(5))).toMap
+
+    // brute force: hash every span-gram, mark cross-doc duplicated positions,
+    // merge runs — the same semantics computed imperatively
+    val raw = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.trim.split("\\s+") }
+    val byGram = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    raw.foreach { case (id, w) =>
+      if (w.length >= span)
+        (0 to w.length - span).foreach { i =>
+          byGram.getOrElseUpdate(w.slice(i, i + span).mkString(" "),
+            scala.collection.mutable.Set.empty) += id
+        }
+    }
+    val expect = raw.flatMap { case (id, w) =>
+      val marked = (0 to w.length - span).filter { i =>
+        w.length >= span && byGram(w.slice(i, i + span).mkString(" ")).size > 1
+      }.map(_ + 1)
+      if (marked.isEmpty) None
+      else {
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var s = marked.head; var prev = marked.head
+        marked.tail.foreach { p =>
+          if (p > prev + 1) { spans += ((s, prev + span - 1)); s = p }
+          prev = p
+        }
+        spans += ((s, prev + span - 1))
+        val covered = spans.flatMap { case (a, b) => a to b }.toSet
+        val clean = w.indices.filterNot(i => covered(i + 1)).map(w).mkString(" ")
+        Some(id -> (spans.map { case (a, b) => s"$a-$b" }.mkString("|"), clean))
+      }
+    }.toMap
+    assert(got == expect)
+    assert(got.nonEmpty) // the gate bites: planted duplicates exist at sf0.001
+  }
+}
