@@ -18,11 +18,15 @@ import org.apache.spark.sql.functions._
   *  2. gram -> 64-bit key (first 16 md5 hex chars: engine-portable, and at
   *     10^10 grams the birthday expectation is a handful of collisions —
   *     each worth one falsely-marked span, never a lost one);
-  *  3. groupBy(key) keeping min/max docId — ONE shuffle of (16 B key,
-  *     docId, pos), with map-side partial min/max (cheaper than a
-  *     countDistinct: "min doc != max doc" IS "appears in 2+ docs");
-  *  4. semi-join positions against the duplicated keys (the dup set is
-  *     tiny next to the gram stream — AQE broadcasts it);
+  *  3. groupBy(key) keeping min/max docId — one shuffle of (16 B key,
+  *     docId), with map-side partial min/max (cheaper than a
+  *     countDistinct: "min doc != max doc" IS "appears in 2+ docs"),
+  *     and robust to hot grams (boilerplate in millions of docs) because
+  *     min/max partials never materialize a group's members;
+  *  4. semi-join positions against the duplicated keys — AQE broadcasts
+  *     the dup set while it fits (it is tiny next to the gram stream);
+  *     beyond that it becomes a second gram-stream shuffle, which is the
+  *     standard probe-the-inverted-index shape and still hot-key-safe;
   *  5. per-doc sort + run-merge of marked positions into maximal spans —
   *     collect_list bounded by the doc's own length, merge is a linear
   *     index-arithmetic pass (no O(n^2) array_contains).
