@@ -641,6 +641,46 @@ object RelationalQueries {
       graft.ops.SubstringDedup.duplicatedSpans(
         t(s, dir, "documents"), "doc_id", "text", span = 10)
         .orderBy(col("doc_id"))
+    }),
+
+    // benchmark decontamination (the GPT-3/PaLM-style n-gram overlap check):
+    // eval set = every 97th doc standing in for a held-out benchmark; the
+    // remaining corpus is annotated with shared-4-gram evidence against it
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.annotate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction (C4/Dolma-style anonymization). The synthetic corpus
+    // carries no PII by construction, so the query PLANTS a deterministic
+    // doc_id-derived contact line (1-2 emails, one IP, 0-1 phones per doc)
+    // and then counts + scrubs it — the oracle replays the same planting,
+    // so the hash gates the regex semantics cross-engine, not empty output
+    "q_pii_scrub" -> ((s, dir) => {
+      import graft.ops.TextOps
+      val id = col("doc_id")
+      val pii = concat(col("text"),
+        lit(" contact user"), id.cast("string"),
+        lit("@mail"), (id % 7).cast("string"), lit(".example.com"),
+        when(id % 3 === 0,
+          concat(lit(" cc admin"), id.cast("string"), lit("@example.org")))
+          .otherwise(lit("")),
+        lit(" via 10."), (id % 4).cast("string"), lit("."),
+        (id % 256).cast("string"), lit(".7"),
+        when(id % 5 =!= 0,
+          concat(lit(" or +1-555-"), lpad((id % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(id,
+          TextOps.piiCount(pii, TextOps.EmailPattern).as("n_emails"),
+          TextOps.piiCount(pii, TextOps.Ipv4Pattern).as("n_ips"),
+          TextOps.piiCount(pii, TextOps.PhonePattern).as("n_phones"),
+          TextOps.redactPii(pii).as("scrubbed"))
+        .orderBy(id)
     })
   )
 
@@ -1141,6 +1181,56 @@ object RelationalQueries {
         |      i -> NOT list_contains(c.cov, i)),
         |    i -> t.w[i]), ' '), '') AS clean_text
         |FROM toks t JOIN agg a USING (doc_id) JOIN cov c USING (doc_id)
-        |ORDER BY t.doc_id""".stripMargin
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // replays the decontamination probe: eval 4-gram set (min-doc
+    // attribution), distinct (train doc, gram) pairs, per-doc match counts
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |    substr(md5(list_aggregate(w[i:i+3], 'string_agg', ' ')), 1, 16) AS g
+        |  FROM w, unnest(generate_series(1, len(w) - 3)) AS t(i)
+        |  WHERE len(w) >= 4),
+        |ev AS (SELECT g, min(doc_id) AS eval_doc FROM g
+        |  WHERE doc_id % 97 = 0 GROUP BY g),
+        |tr AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 97 <> 0),
+        |d AS (SELECT doc_id, count(*)::BIGINT AS n_dirty_grams,
+        |    min(eval_doc) AS first_eval_doc
+        |  FROM tr JOIN ev USING (g) GROUP BY doc_id)
+        |SELECT w.doc_id, greatest(len(w.w) - 3, 0)::BIGINT AS n_grams,
+        |  coalesce(d.n_dirty_grams, 0)::BIGINT AS n_dirty_grams,
+        |  d.first_eval_doc,
+        |  coalesce(d.n_dirty_grams, 0) > 0 AS contaminated
+        |FROM w LEFT JOIN d USING (doc_id)
+        |WHERE w.doc_id % 97 <> 0
+        |ORDER BY w.doc_id""".stripMargin,
+
+    // replays the deterministic PII planting, then the same count + scrub
+    // regexes (RE2 here, java.util.regex in Spark — the patterns are
+    // restricted to the dialect intersection, and the hash proves it)
+    "q_pii_scrub" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id::varchar || '@mail'
+        |    || (doc_id % 7)::varchar || '.example.com'
+        |  || CASE WHEN doc_id % 3 = 0
+        |    THEN ' cc admin' || doc_id::varchar || '@example.org' ELSE '' END
+        |  || ' via 10.' || (doc_id % 4)::varchar || '.'
+        |    || (doc_id % 256)::varchar || '.7'
+        |  || CASE WHEN doc_id % 5 <> 0
+        |    THEN ' or +1-555-' || lpad((doc_id % 10000)::varchar, 4, '0')
+        |    ELSE '' END AS pii
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(pii,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(pii,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+        |  len(regexp_extract_all(pii, '\+\d[\d-]{7,}'))::BIGINT AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(pii,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d[\d-]{7,}', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+        |FROM p ORDER BY doc_id""".stripMargin
   )
 }

@@ -23,6 +23,32 @@ object TextOps {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit(BpePattern), lit(0))
 
+  /** PII patterns for the redaction pass every public-web training corpus
+    * runs before release (C4/Dolma-style anonymization). ASCII-restricted
+    * and free of backreferences/lookaround so Java regex (Spark) and RE2
+    * (DuckDB) match identically — the oracle replays them verbatim.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern: String = "\\+\\d[\\d-]{7,}"
+
+  /** `text` with every email, then phone, then dotted-quad IP replaced by a
+    * typed placeholder. Order matters and is fixed: emails go first (their
+    * local parts may contain `+digits` a later phone pass would mangle);
+    * IPs go last (nothing in the earlier placeholders contains a dotted
+    * quad). Pure codegen'd column expression — map-only at any scale.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Pre-redaction match count for one of the patterns above. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
     * hash every k-gram of `words`, slide a window of `w` consecutive hashes,
     * keep each window's minimum — the classic local document fingerprint

@@ -185,6 +185,33 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getInt(1) >= 1, s"pair ${r.getInt(0)} shares no fingerprint"))
   }
 
+  test("PII redaction: planted classes scrubbed, clean text untouched, counts right") {
+    import graft.ops.TextOps
+    val rows = Seq(
+      (1L, "mail bob.smith+tag@sub.example.co.uk now"), // email with +tag, multi-label domain
+      (2L, "hosts 10.0.0.1 and 192.168.255.254 up"), // two IPs
+      (3L, "call +1-555-867-5309 or +44-20-7946-0958"), // two phones
+      (4L, "v1.2.3 released; pi is 3.14.15.92x ok"), // version + no \b-terminated quad
+      (5L, "plain text with no identifiers at all"),
+      (6L, "a@b.co 127.0.0.1 +9-99999999")) // all three, minimal forms
+    val out = rows.toDF("id", "t")
+      .select($"id",
+        TextOps.piiCount($"t", TextOps.EmailPattern).as("e"),
+        TextOps.piiCount($"t", TextOps.Ipv4Pattern).as("i"),
+        TextOps.piiCount($"t", TextOps.PhonePattern).as("p"),
+        TextOps.redactPii($"t").as("s"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((1L, 0L, 0L, "mail <EMAIL> now")))
+    assert(out(2L) == ((0L, 2L, 0L, "hosts <IP> and <IP> up")))
+    assert(out(3L) == ((0L, 0L, 2L, "call <PHONE> or <PHONE>")))
+    // "3.14.15.92x": trailing x kills the \b quad... no — \b sits between
+    // '2' and 'x'? both word chars, so NO boundary: quad must not match
+    assert(out(4L) == ((0L, 0L, 0L, "v1.2.3 released; pi is 3.14.15.92x ok")))
+    assert(out(5L)._4 == "plain text with no identifiers at all")
+    assert(out(6L) == ((1L, 1L, 1L, "<EMAIL> <IP> <PHONE>")))
+  }
+
   test("multimodal stub pipeline: schema, integrity, determinism") {
     val media = Multimodal.asMediaTable(
       spark.read.parquet(docsPath).limit(50), "doc_id", "text", "image")
