@@ -2,23 +2,29 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** One-shot empirical validation of the dedup family's scaling claims at
-  * 1M+ docs (VERDICT r4 #6): the battery only ever times `dedupCorpus` /
-  * `connectedComponents` at sf0.1 (50k docs), so the star-edge + CC scaling
-  * argument was analytical until this run. Times the full corpus-dedup
-  * pipeline (shingle -> hash-once MinHash -> banded star edges -> connected
-  * components -> anti-join survivors) on the deterministic synthetic corpus
-  * at a configurable size, and reports wall time, docs/s and total shuffle
-  * volume (StageMetrics). Results are curated into BENCH/BASELINE.md; the
-  * run also writes BENCH/DEDUP_SCALE_LAST.md.
+/** One-shot empirical validation of the dedup/curation family's scaling
+  * claims at 1M+ docs (VERDICT r4 #6): the battery only ever times these at
+  * sf0.1 (50k docs), so the scaling arguments were analytical until run
+  * here. Legs (selectable): `corpus` — the full corpus-dedup pipeline
+  * (shingle -> hash-once MinHash -> banded star edges -> connected
+  * components -> anti-join survivors); `spans` — exact-substring span dedup
+  * (span-gram inverted index, Lee et al. regime); `decon` — benchmark
+  * decontamination (8-gram overlap vs a ~0.1% eval slice). Each leg reports
+  * wall time, docs/s and total shuffle volume (StageMetrics). Results are
+  * curated into BENCH/BASELINE.md; the run also writes
+  * BENCH/DEDUP_SCALE_LAST.md.
   *
-  * Usage: runMain graft.DedupScaleBench [nDocs] [cpus]
-  * (defaults 1000000, 32; SPARK_DRIVER_MEM sizes the forked heap)
+  * Usage: runMain graft.DedupScaleBench [nDocs] [cpus] [corpus|spans|decon|all]
+  * (defaults 1000000, 32, corpus; SPARK_DRIVER_MEM sizes the forked heap)
   */
 object DedupScaleBench {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 1000000L
     val cpus = if (args.length > 1) args(1) else "32"
+    val legsArg = if (args.length > 2) args(2) else "corpus"
+    val legs: Seq[String] =
+      if (legsArg == "all") Seq("corpus", "spans", "decon")
+      else legsArg.split(",").toSeq
     val spark = Bench.newSession(cpus)
     import spark.implicits._
 
@@ -28,48 +34,79 @@ object DedupScaleBench {
       // documents-table shape: (doc_id, text); path ordinal = unique id
       .select(monotonically_increasing_id().as("doc_id"), col("content").as("text"))
 
-    // materialize the input untimed (dedup reads an EXISTING table; corpus
-    // generation is bench scaffolding, not engine work)
+    // materialize the input untimed (these ops read an EXISTING table;
+    // corpus generation is bench scaffolding, not engine work)
     val src = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
         else System.getProperty("java.io.tmpdir")), "graftdedupscale").toString
     corpus(nDocs).write.mode("overwrite").parquet(src)
     val docs = spark.read.parquet(src)
 
-    // JIT/codegen warm-up on a small slice, untimed (same protocol as Bench)
-    graft.ops.Dedup.dedupCorpus(docs.limit(5000), "doc_id", "text").count()
-
     val sm = StageMetrics.install(spark)
-    val (survivors, sec) = Bench.time {
-      graft.ops.Dedup.dedupCorpus(docs, "doc_id", "text").count()
-    }
-    val shufWriteMB = sm.rows.map(_.shufWriteMB).sum
-    val shufReadMB = sm.rows.map(_.shufReadMB).sum
-    val spillMB = sm.rows.map(_.spillMB).sum
-    sm.report(s"dedupCorpus nDocs=$nDocs")
+    case class Leg(name: String, rows: Long, sec: Double,
+                   shufWriteMB: Double, shufReadMB: Double, spillMB: Double)
 
+    // per leg: JIT/codegen warm-up on a small slice, untimed (same protocol
+    // as Bench), then one measured end-to-end pass over the full table
+    def runLeg(name: String)(warm: => Long)(body: => Long): Leg = {
+      warm
+      sm.reset()
+      val (n, sec) = Bench.time(body)
+      val leg = sm.rows.synchronized {
+        Leg(name, n, sec, sm.rows.map(_.shufWriteMB).sum,
+          sm.rows.map(_.shufReadMB).sum, sm.rows.map(_.spillMB).sum)
+      }
+      sm.report(s"$name nDocs=$nDocs")
+      leg
+    }
+
+    val evalPred = col("doc_id") % 997 === 0 // ~0.1% eval slice for decon
+    val results = legs.map {
+      case "corpus" => runLeg("dedupCorpus") {
+        graft.ops.Dedup.dedupCorpus(docs.limit(5000), "doc_id", "text").count()
+      } {
+        graft.ops.Dedup.dedupCorpus(docs, "doc_id", "text").count()
+      }
+      case "spans" => runLeg("substringSpans") {
+        graft.ops.SubstringDedup
+          .duplicatedSpans(docs.limit(5000), "doc_id", "text", span = 10).count()
+      } {
+        graft.ops.SubstringDedup
+          .duplicatedSpans(docs, "doc_id", "text", span = 10).count()
+      }
+      case "decon" => runLeg("decontaminate") {
+        graft.ops.Decontaminate.annotate(docs.limit(5000).filter(!evalPred),
+          docs.limit(5000).filter(evalPred), "doc_id", "text", n = 8).count()
+      } {
+        graft.ops.Decontaminate.annotate(docs.filter(!evalPred),
+          docs.filter(evalPred), "doc_id", "text", n = 8).count()
+      }
+      case other => sys.error(s"unknown leg: $other")
+    }
+
+    val table = results.map { l =>
+      f"| ${l.name} | ${l.rows} | ${l.sec}%.2f | ${nDocs / l.sec}%.0f | ${l.shufWriteMB}%.0f | ${l.shufReadMB}%.0f | ${l.spillMB}%.0f |"
+    }.mkString("\n")
     val md =
-      f"""# BENCH/DEDUP_SCALE_LAST — dedup family at $nDocs docs
+      f"""# BENCH/DEDUP_SCALE_LAST — curation family at $nDocs docs
          |
-         || metric | value |
-         ||---|---|
-         || corpus docs | $nDocs |
-         || survivors | $survivors |
-         || wall sec (dedupCorpus end-to-end) | $sec%.2f |
-         || docs/sec | ${nDocs / sec}%.0f |
-         || shuffle write MB (all stages) | $shufWriteMB%.0f |
-         || shuffle read MB (all stages) | $shufReadMB%.0f |
-         || spill MB | $spillMB%.0f |
+         || leg | result rows | wall sec | docs/sec | shW MB | shR MB | spill MB |
+         ||---|---|---|---|---|---|---|
+         |$table%s
          |
-         |Pipeline: shingle(k=3) -> hash-once MinHash -> 8-band star edges ->
-         |connected components (hybrid driver-union-find / label propagation)
-         |-> anti-join survivors, local[$cpus].
+         |Legs: dedupCorpus = shingle(k=3) -> hash-once MinHash -> 8-band star
+         |edges -> connected components -> anti-join survivors;
+         |substringSpans = span-gram(10) inverted index -> min/max dup keys ->
+         |semi-join -> gaps-and-islands merge; decontaminate = 8-gram overlap
+         |vs the ~0.1%% eval slice (doc_id %% 997 == 0). local[$cpus].
          |""".stripMargin
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH/DEDUP_SCALE_LAST.md"), md)
     println(md)
-    println(f"""{"metric":"dedup_docs_per_sec","value":${nDocs / sec}%.1f,"unit":"docs/sec","nDocs":$nDocs,"survivors":$survivors,"shuffle_write_mb":$shufWriteMB%.0f,"shuffle_read_mb":$shufReadMB%.0f}""")
+    results.foreach { l =>
+      println(f"""{"metric":"${l.name}_docs_per_sec","value":${nDocs / l.sec}%.1f,"unit":"docs/sec","nDocs":$nDocs,"rows":${l.rows},"shuffle_write_mb":${l.shufWriteMB}%.0f,"shuffle_read_mb":${l.shufReadMB}%.0f}""")
+    }
     import scala.reflect.io.Directory
     new Directory(new java.io.File(src)).deleteRecursively()
     spark.stop()

@@ -681,6 +681,47 @@ object RelationalQueries {
           TextOps.piiCount(pii, TextOps.PhonePattern).as("n_phones"),
           TextOps.redactPii(pii).as("scrubbed"))
         .orderBy(id)
+    }),
+
+    // TF-IDF keyword extraction: per-doc top-3 terms by tf * ln((N+1)/(df+1))
+    // — the classic corpus-statistics join shape: a doc-keyed tf aggregate
+    // joins a vocab-keyed df aggregate (broadcast-sized next to the corpus),
+    // per-doc top-k via window rank. Scores round(.,6) in BOTH engines so
+    // last-ulp ln() divergence can't flip the hash; ties break on term asc
+    "q_tfidf_keywords" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(dfTab, "term").crossJoin(n)
+        .withColumn("tfidf",
+          round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+          col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // training sequence prep: fixed 64-token windows at stride 48 (25%
+    // overlap) — map-only posexplode; every token lands in >= 1 window
+    "q_chunk_windows" -> ((s, dir) => {
+      val w = split(lower(trim(col("text"))), "\\s+")
+      t(s, dir, "documents")
+        .select(col("doc_id"), w.as("w"))
+        .select(col("doc_id"), col("w"), size(col("w")).as("n_words"),
+          posexplode(sequence(lit(1), greatest(size(col("w")), lit(1)), lit(48))))
+        .select(col("doc_id"),
+          (col("pos") + 1).cast("long").as("chunk_seq"),
+          col("col").cast("long").as("start_tok"),
+          least(col("n_words") - col("col") + 1, lit(64)).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", slice(col("w"), col("col"), lit(64)))).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_seq"))
     })
   )
 
@@ -1209,6 +1250,36 @@ object RelationalQueries {
     // replays the deterministic PII planting, then the same count + scrub
     // regexes (RE2 here, java.util.regex in Spark — the patterns are
     // restricted to the dialect intersection, and the hash proves it)
+    // ranks over the ROUNDED tfidf in both engines (rounded ties break on
+    // term asc identically; ranking on raw doubles would let last-ulp ln()
+    // divergence reorder near-ties cross-engine)
+    "q_tfidf_keywords" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        |  FROM w GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rank FROM s)
+        |SELECT doc_id, rank::INTEGER AS rank, term, tf, df, tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_chunk_windows" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w FROM documents)
+        |SELECT doc_id,
+        |  ((s - 1) // 48 + 1)::BIGINT AS chunk_seq,
+        |  s::BIGINT AS start_tok,
+        |  least(len(w) - s + 1, 64)::BIGINT AS n_tokens,
+        |  md5(array_to_string(w[s:s+63], ' ')) AS chunk_fp
+        |FROM w, unnest(generate_series(1, greatest(len(w), 1), 48)) AS t(s)
+        |ORDER BY doc_id, chunk_seq""".stripMargin,
+
     "q_pii_scrub" ->
       """WITH p AS (SELECT doc_id,
         |  text || ' contact user' || doc_id::varchar || '@mail'
