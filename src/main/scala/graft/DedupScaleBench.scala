@@ -74,12 +74,18 @@ object DedupScaleBench {
         graft.ops.SubstringDedup
           .duplicatedSpans(docs, "doc_id", "text", span = 10).count()
       }
+      // count CONTAMINATED rows: a bare count() of the annotation is
+      // eliminated by Catalyst (left join on the provably-unique dirty key
+      // preserves row count), so it would measure a filter, not the probe —
+      // the first run of this leg reported 1.26M docs/s of nothing
       case "decon" => runLeg("decontaminate") {
         graft.ops.Decontaminate.annotate(docs.limit(5000).filter(!evalPred),
-          docs.limit(5000).filter(evalPred), "doc_id", "text", n = 8).count()
+          docs.limit(5000).filter(evalPred), "doc_id", "text", n = 8)
+          .filter(col("contaminated")).count()
       } {
         graft.ops.Decontaminate.annotate(docs.filter(!evalPred),
-          docs.filter(evalPred), "doc_id", "text", n = 8).count()
+          docs.filter(evalPred), "doc_id", "text", n = 8)
+          .filter(col("contaminated")).count()
       }
       case other => sys.error(s"unknown leg: $other")
     }

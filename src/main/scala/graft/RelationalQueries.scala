@@ -1196,11 +1196,18 @@ object RelationalQueries {
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
         |  FROM documents),
-        |g AS (
+        |gr AS (
         |  SELECT doc_id, i AS pos,
-        |    substr(md5(list_aggregate(w[i:i+9], 'string_agg', ' ')), 1, 16) AS g
+        |    md5(list_aggregate(w[i:i+9], 'string_agg', ' ')) AS h
         |  FROM toks, unnest(generate_series(1, len(w) - 9)) AS t(i)
         |  WHERE len(w) >= 10),
+        |g AS (
+        |  SELECT doc_id, pos,
+        |    (('0x' || substr(h, 1, 8))::BIGINT
+        |       - CASE WHEN ('0x' || substr(h, 1, 8))::BIGINT >= 2147483648
+        |         THEN 4294967296 ELSE 0 END)
+        |      * 4294967296 + ('0x' || substr(h, 9, 8))::BIGINT AS g
+        |  FROM gr),
         |dup AS (SELECT g FROM g GROUP BY g HAVING min(doc_id) <> max(doc_id)),
         |p AS (SELECT doc_id, pos FROM g WHERE g IN (SELECT g FROM dup)),
         |isl AS (SELECT doc_id, pos,
@@ -1229,10 +1236,16 @@ object RelationalQueries {
     "q_decontaminate" ->
       """WITH w AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
-        |g AS (SELECT doc_id,
-        |    substr(md5(list_aggregate(w[i:i+3], 'string_agg', ' ')), 1, 16) AS g
+        |gr AS (SELECT doc_id,
+        |    md5(list_aggregate(w[i:i+3], 'string_agg', ' ')) AS h
         |  FROM w, unnest(generate_series(1, len(w) - 3)) AS t(i)
         |  WHERE len(w) >= 4),
+        |g AS (SELECT doc_id,
+        |    (('0x' || substr(h, 1, 8))::BIGINT
+        |       - CASE WHEN ('0x' || substr(h, 1, 8))::BIGINT >= 2147483648
+        |         THEN 4294967296 ELSE 0 END)
+        |      * 4294967296 + ('0x' || substr(h, 9, 8))::BIGINT AS g
+        |  FROM gr),
         |ev AS (SELECT g, min(doc_id) AS eval_doc FROM g
         |  WHERE doc_id % 97 = 0 GROUP BY g),
         |tr AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 97 <> 0),

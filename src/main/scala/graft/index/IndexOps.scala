@@ -264,9 +264,9 @@ object IndexOps {
     * needs a human to call merge). Returns Some(mergedMeta) when compaction
     * ran — the merged segment lives at `outDir`, callers swap readers to it
     * (commit-gated: readers of the old dirs are untouched) — or None when
-    * the policy says leave it alone. `tombstoneCount` is a cumulative upper
-    * bound (re-deletes overstate it), so the worst case is compacting
-    * EARLY — never missing a needed compaction.
+    * the policy says leave it alone. `tombstoneCount` is exact (delete
+    * commits dedupe against visible tombstones on write), so the ratio
+    * trigger fires exactly when the live-doc fraction says it should.
     */
   def maintain(spark: SparkSession, baseDir: String, deltaDirs: Seq[String],
                outDir: String, cfg: IndexConfig = IndexConfig(),

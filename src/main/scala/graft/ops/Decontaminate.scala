@@ -9,27 +9,28 @@ import org.apache.spark.sql.functions._
   * ships). Re-expressed Spark-first:
   *
   *  1. both sides tokenize (lowercased whitespace words) and shingle into
-  *     n-grams keyed by a 64-bit hash (first 16 md5 hex chars — the same
-  *     engine-portable key [[SubstringDedup]] uses; at 10^10 grams the
-  *     birthday expectation is a handful of collisions, each worth one
+  *     n-grams keyed by a 64-bit LONG hash ([[Dedup.tokenHash64]] — the
+  *     same engine-portable key [[SubstringDedup]] uses, 8 B across the
+  *     shuffle instead of a 16 B hex string; at 10^10 grams the birthday
+  *     expectation is a handful of collisions, each worth one
   *     falsely-flagged doc, never a missed one);
   *  2. the eval side collapses to DISTINCT grams with a min-doc attribution
   *     (groupBy(g).min — map-side partials, hot boilerplate grams never
   *     materialize a member list). Benchmarks are MBs against a corpus of
   *     TBs, so this side is broadcast-sized BY CONSTRUCTION;
-  *  3. the train gram stream dedups to (doc, gram) pairs and inner-joins the
-  *     eval gram set — AQE broadcasts the eval side, so the corpus-sized
-  *     stream never shuffles for the probe;
-  *  4. per-doc counts of matched grams aggregate over the (tiny) matched
-  *     pairs only, then a final broadcast join annotates the full corpus —
-  *     every train doc emerges with its contamination evidence, so the
-  *     caller chooses drop/keep/quarantine policy downstream.
+  *  3. the train gram stream inner-joins the eval gram set FIRST — AQE
+  *     broadcasts the eval side, so the probe is a map-side filter and the
+  *     corpus-sized stream NEVER shuffles. Per-doc distinct-gram counts
+  *     aggregate over the (tiny) matched pairs only — distinct-before-join
+  *     was the original shape and its (doc, gram) dedup of the whole
+  *     corpus spilled 31 GB at the 1M-doc DedupScaleBench; distinct-after-
+  *     join is value-identical and free;
+  *  4. a final broadcast join annotates the full corpus — every train doc
+  *     emerges with its contamination evidence, so the caller chooses
+  *     drop/keep/quarantine policy downstream.
   *
-  * The one corpus-sized shuffle is the (doc, gram) distinct in step 3; at
-  * the 100 TB target that is the same O(total tokens) exchange the substring
-  * and MinHash dedups already pay, and it exists only to make per-doc match
-  * counts DISTINCT-gram counts (drop the distinct and counts become
-  * occurrence counts, flag semantics unchanged).
+  * Net: NO corpus-sized shuffle anywhere — the op is tokenize/hash-bound,
+  * which is the property that matters at 100 TB.
   */
 object Decontaminate {
 
@@ -38,7 +39,7 @@ object Decontaminate {
       .select(col(idCol).cast("long").as("doc_id"),
         split(lower(trim(col(textCol))), "\\s+").as("w"))
       .select(col("doc_id"), explode(Dedup.shingles(col("w"), n)).as("gram"))
-      .select(col("doc_id"), substring(md5(col("gram")), 1, 16).as("g"))
+      .select(col("doc_id"), Dedup.tokenHash64(col("gram")).as("g"))
 
   /** Annotate every `train` document with its n-gram overlap against `eval`:
     * (doc_id, n_grams, n_dirty_grams = distinct shared grams, first_eval_doc
@@ -48,11 +49,15 @@ object Decontaminate {
                textCol: String, n: Int): DataFrame = {
     val evalGrams = gramKeys(eval, idCol, textCol, n)
       .groupBy("g").agg(min("doc_id").as("eval_doc"))
+    // explicit broadcast: the eval side is broadcast-sized BY CONTRACT
+    // (benchmark sets are MBs). Left to AQE, the probe planned as SMJ and
+    // the whole gram stream took a 4.4 GB disk round-trip before AQE's
+    // local-read BHJ downgrade (measured, 1M-doc DedupScaleBench); the
+    // hint keeps the probe a pure map-side filter
     val dirty = gramKeys(train, idCol, textCol, n)
-      .distinct()
-      .join(evalGrams, Seq("g"))
+      .join(broadcast(evalGrams), Seq("g"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_dirty_grams"), min("eval_doc").as("first_eval_doc"))
+      .agg(countDistinct("g").as("n_dirty_grams"), min("eval_doc").as("first_eval_doc"))
     train
       .select(col(idCol).cast("long").as("doc_id"),
         greatest(size(split(lower(trim(col(textCol))), "\\s+")) - (n - 1), lit(0))

