@@ -213,7 +213,11 @@ object Bench {
     // regime: repeats on one searcher (caches serve) — both reported, they
     // answer different capacity questions.
     searcher.search(BenchQueries.head, 10)
-    val coldSearchers = searcher +: Seq.fill(2)(new Searcher(spark, out))
+    // cold passes use searchers the warm-up never touched — the warmed
+    // `searcher` holds the warm-up term's runs, so including it in the
+    // cold set let min-of-3 pick warm-cache timings for queries sharing
+    // that term and biased the cold p50 down
+    val coldSearchers = Seq.fill(3)(new Searcher(spark, out))
     val cold = minPerQuery(coldSearchers.map(sr =>
       BenchQueries.map(q => time(sr.search(q, 10))._2)))
     val sorted = cold.sorted
@@ -237,7 +241,7 @@ object Bench {
       "ix_spin_sentinel_ms" -> sentinelMs,
       "ix_spin_sentinel_mt_ms" -> sentinelMtMs)
     if (!full) {
-      coldSearchers.foreach(_.close())
+      (searcher +: coldSearchers).foreach(_.close())
       import scala.reflect.io.Directory
       new Directory(new java.io.File(out)).deleteRecursively()
       new Directory(new java.io.File(srcTable)).deleteRecursively()
@@ -300,7 +304,7 @@ object Bench {
     val multiLats = minPerQuery(Seq.fill(3)(
       BenchQueries.map(q => time(multi.search(q, 10))._2)))
     multi.close()
-    (coldSearchers ++ Seq(dist, shuf, batcher, batcherD)).foreach(_.close())
+    (searcher +: (coldSearchers ++ Seq(dist, shuf, batcher, batcherD))).foreach(_.close())
     val sentinelEndMs = spinSentinelMs()
     val sentinelEndMtMs = spinSentinelMtMs()
 

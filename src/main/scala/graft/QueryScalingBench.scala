@@ -19,7 +19,7 @@ import graft.query.Searcher
   * orders of magnitude; the same knob, documented in IndexConfig).
   *
   * Usage: runMain graft.QueryScalingBench [nDocs] [N] [batch] (defaults
-  * 400000, 8, 256). Single-leg child mode: ... qleg <cores> <indexDir>.
+  * 400000, 8, 256). Single-leg child mode: ... qleg <cores> <indexDir> [batch].
   */
 object QueryScalingBench {
 
@@ -29,7 +29,13 @@ object QueryScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length >= 3 && args(0) == "qleg") { runLegInProcess(args(1).toInt, args(2), args(3).toInt); return }
+    if (args.length >= 3 && args(0) == "qleg") {
+      // batch defaults like the parent's, so the documented 3-arg child
+      // form works (the guard used to pass at length 3 then read args(3))
+      runLegInProcess(args(1).toInt, args(2),
+        if (args.length > 3) args(3).toInt else 256)
+      return
+    }
     val nDocs = if (args.length > 0) args(0).toLong else 400000L
     val n = if (args.length > 1) args(1).toInt else 8
     val batchSize = if (args.length > 2) args(2).toInt else 256

@@ -1210,9 +1210,15 @@ object RelationalQueries {
         |  FROM gr),
         |dup AS (SELECT g FROM g GROUP BY g HAVING min(doc_id) <> max(doc_id)),
         |p AS (SELECT doc_id, pos FROM g WHERE g IN (SELECT g FROM dup)),
-        |isl AS (SELECT doc_id, pos,
-        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |m AS (SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |      OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+        |      THEN 1 ELSE 0 END AS brk
         |  FROM p),
+        |isl AS (SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM m),
         |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e
         |  FROM isl GROUP BY doc_id, grp),
         |agg AS (SELECT doc_id, count(*)::BIGINT AS n_spans,

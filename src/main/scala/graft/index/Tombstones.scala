@@ -133,11 +133,19 @@ object Tombstones {
           .select(col("docId")),
         Seq("docId"), "left_anti")
     // sorted + range-partitioned: parquet min/max row-group stats give the
-    // shuffle path cheap per-salt pruning; small deletes stay one file
-    val n = if (prev.isEmpty && knownCount >= 0) knownCount else df.count()
+    // shuffle path cheap per-salt pruning; small deletes stay one file.
+    // When both a count and a write run, persist so the caller's docIds
+    // plan (e.g. a delete-by-query pushed-filter scan) and the prior-
+    // tombstone anti-join execute ONCE, not once per job
+    val needCount = !(prev.isEmpty && knownCount >= 0)
+    val toWrite =
+      if (needCount) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val n = if (needCount) toWrite.count() else knownCount
     val parts = math.max(1, math.min(200, n / 4000000L)).toInt
-    df.repartitionByRange(parts, col("docId")).sortWithinPartitions(col("docId"))
+    toWrite.repartitionByRange(parts, col("docId")).sortWithinPartitions(col("docId"))
       .write.mode("overwrite").parquet(path)
+    if (needCount) toWrite.unpersist()
     val newCount = props.get("tombstoneCount").map(_.toLong).getOrElse(0L) + n
     snap.commit(props +
       ("tombstones" -> (prev :+ name).mkString(",")) +

@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * monolithic suffix array, the distributed shape is a span-gram inverted
   * index: any duplicated substring of >= `span` tokens necessarily contains
   * a duplicated span-gram, so marking every token position whose span-gram
-  * occurs in MORE THAN ONE document and merging consecutive marked positions
-  * yields the maximal cross-document duplicated spans exactly (at span-token
-  * granularity), with no suffix array and no driver state.
+  * occurs in MORE THAN ONE document and merging marked positions whose
+  * windows overlap or abut yields the maximal cross-document duplicated
+  * spans exactly (at span-token granularity), with no suffix array and no
+  * driver state.
   *
   * Plan shape, built for the 100 TB regime:
   *  1. tokenize + posexplode span-grams — map-only, O(total tokens) rows;
@@ -59,18 +60,23 @@ object SubstringDedup {
       .filter(col("mn") =!= col("mx"))
       .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("ps"))
 
-    // gaps-and-islands over the sorted marked positions: a position starts a
-    // run iff its predecessor isn't marked, ends one iff its successor
-    // isn't; runs pair 1:1 in order, and a run [p..q] covers tokens
-    // [p, q + span - 1]
+    // gaps-and-islands over the sorted marked positions, at COVERAGE
+    // granularity: position p covers tokens [p, p+span-1], so positions p
+    // and q (p < q) belong to one maximal covered interval iff q <= p +
+    // span (overlapping or abutting windows). Splitting only at gap > span
+    // keeps spans disjoint — splitting at gap > 1 (the original shape)
+    // emitted OVERLAPPING spans whenever marked positions sat 2..span-1
+    // apart (e.g. grams at p and p+2 duplicated, p+1 not), double-counting
+    // dup_tokens past n_tokens. Runs pair 1:1 in order; a run [p..q]
+    // covers tokens [p, q + span - 1].
     val idx = sequence(lit(1), size(col("ps")))
     val starts = transform(
       filter(idx, i => i === 1 ||
-        element_at(col("ps"), i) - element_at(col("ps"), i - 1) > 1),
+        element_at(col("ps"), i) - element_at(col("ps"), i - 1) > span),
       i => element_at(col("ps"), i))
     val ends = transform(
       filter(idx, i => i === size(col("ps")) ||
-        element_at(col("ps"), i + 1) - element_at(col("ps"), i) > 1),
+        element_at(col("ps"), i + 1) - element_at(col("ps"), i) > span),
       i => element_at(col("ps"), i))
     val withSpans = marked.select(col("doc_id"),
       zip_with(starts, ends,

@@ -164,8 +164,16 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
   private val fqCache =
     new java.util.LinkedHashMap[(String, String), FqSet](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String), FqSet]): Boolean =
-        size() > FqCacheMaxEntries
+          e: java.util.Map.Entry[(String, String), FqSet]): Boolean = {
+        val evict = size() > FqCacheMaxEntries
+        // release the evicted entry's persisted match set (in-flight-safe,
+        // see Searcher.fqCache) so the LRU bound bounds storage too
+        if (evict) e.getValue.docs.foreach { df =>
+          try df.unpersist() catch { case scala.util.control.NonFatal(_) => }
+          livePersists.remove(df)
+        }
+        evict
+      }
     }
   private val fqInFlight = new java.util.concurrent.ConcurrentHashMap[
     (String, String), java.util.concurrent.CompletableFuture[FqSet]]()
@@ -177,7 +185,16 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     val fut = new java.util.concurrent.CompletableFuture[FqSet]()
     val prior = fqInFlight.putIfAbsent(key, fut)
     if (prior != null) prior.join()
-    else
+    else {
+      // lost-wake re-check (see Searcher.resolveFq): a resolver finishing
+      // between our cache miss and the putIfAbsent win must not trigger a
+      // second resolution of the same (segment, fq)
+      val raced = fqCache.synchronized(fqCache.get(key))
+      if (raced != null) {
+        fut.complete(raced)
+        fqInFlight.remove(key, fut)
+        return raced
+      }
       try {
         // persist BEFORE the count: the count job doubles as cache
         // materialization; small sets collect from the cache and release it
@@ -201,6 +218,7 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
       } catch {
         case t: Throwable => fut.completeExceptionally(t); throw t
       } finally fqInFlight.remove(key, fut)
+    }
   }
 
   /** Norm-table builds (tests assert one docstats read per segment). */
@@ -283,8 +301,13 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     val segResults: Seq[Seq[Hit]] =
       awaitAll(segments.zip(perSegDf).map { case (seg, segDf) => () =>
         val segPostings = idfMap.keysIterator.map(k2 => segDf.getOrElse(k2, 0L)).sum
+        // zero-postings short-circuit BEFORE fq resolution: a segment that
+        // can't match the query must not pay a filter-resolution Spark job
+        // just to build a cache entry this query never reads
+        if (segPostings == 0) Seq.empty[Hit]
+        else {
         val segFq = fq.map(f => resolveFq(seg, f))
-        if (segPostings == 0 || segFq.exists(_.count == 0)) Seq.empty[Hit]
+        if (segFq.exists(_.count == 0)) Seq.empty[Hit]
         else {
           val fqBc = segFq.flatMap(_.sorted)
           val fqSemi = fq.isDefined && fqBc.isEmpty
@@ -297,6 +320,7 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
             else
               searchSegmentDriver(seg, cls, fieldArr, idfMap, avg, minMatch, k, fqBc)
           segHits.map(h => Hit(seg.offset + h.docId, h.score)).toSeq
+        }
         }
       })
     val top = new TopK(k)
@@ -364,8 +388,12 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     val segTagged: Seq[Array[(Int, Hit)]] =
       try awaitAll(segments.zip(perSegDf).map { case (seg, segDf) => () =>
         val segKeys = allKeys.filter(k2 => segDf.getOrElse(k2, 0L) > 0)
+        // zero-match short-circuit before fq resolution (same rationale as
+        // [[search]]): no filter job for a segment the batch can't touch
+        if (segKeys.isEmpty) Array.empty[(Int, Hit)]
+        else {
         val segFq = fq.map(f => resolveFq(seg, f))
-        if (segKeys.isEmpty || segFq.exists(_.count == 0)) Array.empty[(Int, Hit)]
+        if (segFq.exists(_.count == 0)) Array.empty[(Int, Hit)]
         else {
           val segPostings = segKeys.iterator.map(segDf).sum
           val fqBc = segFq.flatMap(_.sorted)
@@ -379,6 +407,7 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
             else
               batchSegmentDriver(seg, plans, segKeys, fieldArr, avg, k, fqBc)
           local.map { case (qi, h) => (qi, Hit(seg.offset + h.docId, h.score)) }
+        }
         }
       })
       finally Searcher.destroyQuietly(plansBc)
@@ -435,43 +464,10 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
   private def batchSegmentShuffle(seg: Segment, plansBc: Broadcast[Array[BatchPlan]],
       segKeys: Set[(String, String)], fieldArr: Array[String],
       avg: Map[String, Double], k: Int,
-      fqSet: Option[FqSet] = None): Array[(Int, Hit)] = {
-    val fqB = fqSet.flatMap(_.sorted)
-    val stats = fqSet.flatMap(_.docs).foldLeft(
-        graft.index.Tombstones.exclude(querySession, seg.dir,
-          querySession.read.parquet(s"${seg.dir}/docstats")
-            .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))) {
-        (df, cached) => df.join(cached, Seq("docId"), "left_semi")
-      }
-      .as[(Long, Int, Int, Int, Int)]
-    Searcher.gatedJob {
-      filteredRuns(seg, segKeys).groupByKey(_.salt)
-        .cogroup(stats.groupByKey(_._2)) { case (_, runIt, statIt) =>
-          val runs = runIt.toArray
-          if (runs.isEmpty) Iterator.empty
-          else {
-            val arr = statIt.toArray
-            val ids = new mutable.HashMap[Long, Int]()
-            arr.indices.foreach(ix => ids.update(arr(ix)._1, ix))
-            def ql(fi: Int, d: Long): Int = ids.get(d) match {
-              case Some(ix) =>
-                val len = fi match {
-                  case 0 => arr(ix)._3
-                  case 1 => arr(ix)._4
-                  case _ => arr(ix)._5
-                }
-                SmallFloat.quantizeLength(len)
-              case None => 1 // tombstoned: discarded via `deleted`
-            }
-            val fqArr = fqB.map(_.value).orNull
-            Searcher.scoreBatch(runs, plansBc.value, ql, fieldArr, avg, k,
-              d => !ids.contains(d) ||
-                (fqArr != null && java.util.Arrays.binarySearch(fqArr, d) < 0))
-          }
-        }
-        .collect()
-    }
-  }
+      fqSet: Option[FqSet] = None): Array[(Int, Hit)] =
+    Searcher.shuffleScore(querySession, seg.dir, filteredRuns(seg, segKeys),
+      fqSet.flatMap(_.docs), fqSet.flatMap(_.sorted),
+      (rs, ql, excl) => Searcher.scoreBatch(rs, plansBc.value, ql, fieldArr, avg, k, excl))
 
   /** Run thunks on the shared bounded pool; single-element lists run inline
     * (no pool hop for the one-segment case). Failures propagate.
@@ -532,48 +528,14 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     */
   private def searchSegmentShuffle(seg: Segment, cls: Array[Clause], fieldArr: Array[String],
       idfMap: Map[(String, String), Double], avg: Map[String, Double],
-      minMatch: Int, k: Int, fqSet: Option[FqSet] = None): Iterator[Hit] = {
+      minMatch: Int, k: Int, fqSet: Option[FqSet] = None): Iterator[Hit] =
     // big-fq: the PERSISTED per-segment resolution semi-joins docstats
     // (resolve-once); a broadcastable fq that lands here because the
     // SEGMENT routed to shuffle rides the kernel predicate instead
-    val fqB = fqSet.flatMap(_.sorted)
-    val stats = fqSet.flatMap(_.docs).foldLeft(
-        graft.index.Tombstones.exclude(querySession, seg.dir,
-          querySession.read.parquet(s"${seg.dir}/docstats")
-            .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))) {
-        (df, cached) => df.join(cached, Seq("docId"), "left_semi")
-      }
-      .as[(Long, Int, Int, Int, Int)]
-    Searcher.gatedJob {
-      filteredRuns(seg, idfMap.keySet).groupByKey(_.salt)
-        .cogroup(stats.groupByKey(_._2)) { case (_, runIt, statIt) =>
-          val runs = runIt.toArray
-          if (runs.isEmpty) Iterator.empty
-          else {
-            // memory bound: one salt range of docstats (<= saltRange rows,
-            // ~30 MB at the 2^20 default) per task, corpus-size independent
-            val arr = statIt.toArray
-            val ids = new mutable.HashMap[Long, Int]()
-            arr.indices.foreach(ix => ids.update(arr(ix)._1, ix))
-            def ql(fi: Int, d: Long): Int = ids.get(d) match {
-              case Some(ix) =>
-                val len = fi match {
-                  case 0 => arr(ix)._3
-                  case 1 => arr(ix)._4
-                  case _ => arr(ix)._5
-                }
-                SmallFloat.quantizeLength(len)
-              case None => 1 // tombstoned: scored then discarded via `deleted`
-            }
-            val fqArr = fqB.map(_.value).orNull
-            Kernel.scoreSalt(runs, ql, cls, fieldArr, idfMap, avg, minMatch, k,
-              d => !ids.contains(d) ||
-                (fqArr != null && java.util.Arrays.binarySearch(fqArr, d) < 0))
-          }
-        }
-        .collect()
-    }.iterator
-  }
+    Searcher.shuffleScore(querySession, seg.dir, filteredRuns(seg, idfMap.keySet),
+      fqSet.flatMap(_.docs), fqSet.flatMap(_.sorted),
+      (rs, ql, excl) => Kernel.scoreSalt(rs, ql, cls, fieldArr, idfMap,
+        avg, minMatch, k, excl)).iterator
 
   /** Resolve a global docId back to (segmentDir, localDocId). */
   def locate(globalId: Long): (String, Long) = {

@@ -353,8 +353,19 @@ class Searcher(spark: SparkSession, indexDir: String) {
 
   private val fqCache =
     new java.util.LinkedHashMap[String, FqSet](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, FqSet]): Boolean =
-        size() > FqCacheMaxEntries
+      override def removeEldestEntry(e: java.util.Map.Entry[String, FqSet]): Boolean = {
+        val evict = size() > FqCacheMaxEntries
+        // a big-fq entry's PERSISTED match set is released on eviction —
+        // unpersist is in-flight-safe (a concurrent query recomputes the
+        // missing blocks), so the LRU bound really bounds storage, not just
+        // map entries; evicted BROADCASTS stay in the close() inventory
+        // (destroy under an in-flight query is not safe)
+        if (evict) e.getValue.docs.foreach { df =>
+          try df.unpersist() catch { case scala.util.control.NonFatal(_) => }
+          livePersists.remove(df)
+        }
+        evict
+      }
     }
   private val fqInFlight = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.CompletableFuture[FqSet]]()
@@ -370,7 +381,17 @@ class Searcher(spark: SparkSession, indexDir: String) {
     val fut = new java.util.concurrent.CompletableFuture[FqSet]()
     val prior = fqInFlight.putIfAbsent(fqs, fut)
     if (prior != null) prior.join()
-    else
+    else {
+      // a prior resolver may have completed and retired its in-flight entry
+      // between our cache miss and the putIfAbsent win — re-check before
+      // resolving, or this fq double-persists and the first copy strands
+      // until close()
+      val raced = fqCache.synchronized(fqCache.get(fqs))
+      if (raced != null) {
+        fut.complete(raced)
+        fqInFlight.remove(fqs, fut)
+        return raced
+      }
       try {
         fqResolves.incrementAndGet()
         // persist BEFORE the count so the count job doubles as cache
@@ -395,6 +416,7 @@ class Searcher(spark: SparkSession, indexDir: String) {
       } catch {
         case t: Throwable => fut.completeExceptionally(t); throw t
       } finally fqInFlight.remove(fqs, fut)
+    }
   }
 
   /** Ranked retrieval, optionally constrained to an fq's matching docs
@@ -483,14 +505,23 @@ class Searcher(spark: SparkSession, indexDir: String) {
     val fqSet = fq.map(resolveFq)
     if (fqSet.exists(_.count == 0)) return queries.map(_ => Array.empty[Hit])
     val fqBc = fqSet.flatMap(_.sorted)
+    // SAME regime router as [[search]]: past the norms/tombstone broadcast
+    // bounds every query of the batch must take the shuffle strategy —
+    // routing to searchBroadcast there would driver-materialize the very
+    // norm table / tombstone array those bounds exist to keep distributed
+    val broadcastRegime =
+      meta.nDocs <= NormsMaxDocs && tombstoneCount <= TombstonesMaxBroadcast
     def one(q: String): Array[Hit] =
-      if (fq.isDefined && fqBc.isEmpty) searchShuffle(q, k, fields, fq)
+      if (!broadcastRegime || (fq.isDefined && fqBc.isEmpty))
+        searchShuffle(q, k, fields, fq)
       else searchBroadcast(q, k, fields, fqBc)
-    val prefetch = queries.flatMap(q => plan(q, fields)).flatMap {
-      case (_, idfMap, _, postings) =>
-        if (postings <= DriverKernelMaxPostings) idfMap.keySet
-        else Set.empty[(String, String)]
-    }.toSet
+    val prefetch =
+      if (!broadcastRegime) Set.empty[(String, String)]
+      else queries.flatMap(q => plan(q, fields)).flatMap {
+        case (_, idfMap, _, postings) =>
+          if (postings <= DriverKernelMaxPostings) idfMap.keySet
+          else Set.empty[(String, String)]
+      }.toSet
     if (prefetch.nonEmpty) fetchRuns(prefetch)
     if (queries.lengthCompare(1) <= 0) queries.map(one)
     else {
@@ -563,43 +594,10 @@ class Searcher(spark: SparkSession, indexDir: String) {
           // big-fq regime: the PERSISTED resolution semi-joins docstats
           // (resolve-once); a broadcastable fq that lands here because the
           // corpus routed to shuffle rides the kernel predicate instead
-          val fqB = fqBcOpt
-          val stats = fqSet.flatMap(_.docs).foldLeft(
-              graft.index.Tombstones.exclude(querySession, indexDir,
-                querySession.read.parquet(s"$indexDir/docstats")
-                  .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))) {
-              (df, cached) => df.join(cached, Seq("docId"), "left_semi")
-            }
-            .as[(Long, Int, Int, Int, Int)]
-          Searcher.gatedJob {
-            filteredRuns(allKeys).groupByKey(_.salt)
-              .cogroup(stats.groupByKey(_._2)) { case (_, runIt, statIt) =>
-                val runs = runIt.toArray
-                if (runs.isEmpty) Iterator.empty
-                else {
-                  // same per-task memory bound as searchShuffle: one salt
-                  // range of docstats, corpus-size independent
-                  val arr = statIt.toArray
-                  val ids = new mutable.HashMap[Long, Int]()
-                  arr.indices.foreach(ix => ids.update(arr(ix)._1, ix))
-                  def ql(fi: Int, d: Long): Int = ids.get(d) match {
-                    case Some(ix) =>
-                      val len = fi match {
-                        case 0 => arr(ix)._3
-                        case 1 => arr(ix)._4
-                        case _ => arr(ix)._5
-                      }
-                      SmallFloat.quantizeLength(len)
-                    case None => 1 // tombstoned: discarded via `deleted`
-                  }
-                  val fqArr = fqB.map(_.value).orNull
-                  Searcher.scoreBatch(runs, plansBc.value, ql, fieldArr,
-                    avgLen, kk, d => !ids.contains(d) ||
-                      (fqArr != null && java.util.Arrays.binarySearch(fqArr, d) < 0))
-                }
-              }
-              .collect()
-          }
+          Searcher.shuffleScore(querySession, indexDir, filteredRuns(allKeys),
+            fqSet.flatMap(_.docs), fqBcOpt,
+            (rs, ql, excl) =>
+              Searcher.scoreBatch(rs, plansBc.value, ql, fieldArr, avgLen, kk, excl))
         }
       } finally Searcher.destroyQuietly(plansBc)
     val tops = Array.fill(queries.length)(new TopK(k))
@@ -630,42 +628,10 @@ class Searcher(spark: SparkSession, indexDir: String) {
       case Some((cls, idfMap, minMatch, _)) =>
         val avgLen = meta.avgLen
         val fieldArr = DefaultFields.toArray
-        val filtered = fqSet.flatMap(_.docs).foldLeft(
-            graft.index.Tombstones.exclude(querySession, indexDir,
-              querySession.read.parquet(s"$indexDir/docstats")
-                .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))) {
-          (df, cached) => df.join(cached, Seq("docId"), "left_semi")
-        }
-        val stats = filtered.as[(Long, Int, Int, Int, Int)]
-        val localHits = Searcher.gatedJob { filteredRuns(idfMap.keySet).groupByKey(_.salt)
-          .cogroup(stats.groupByKey(_._2)) { case (_, runIt, statIt) =>
-            val runs = runIt.toArray
-            if (runs.isEmpty) Iterator.empty
-            else {
-              // memory bound: one salt range of docstats rows — at most
-              // cfg.saltRange (default 2^20) * ~30 B ≈ 30 MB per task,
-              // independent of corpus size (tune saltRange to executor RAM)
-              val arr = statIt.toArray
-              val ids = new mutable.HashMap[Long, Int]() // docId -> idx
-              arr.indices.foreach(ix => ids.update(arr(ix)._1, ix))
-              def ql(fi: Int, d: Long): Int = ids.get(d) match {
-                case Some(ix) =>
-                  val len = fi match {
-                    case 0 => arr(ix)._3
-                    case 1 => arr(ix)._4
-                    case _ => arr(ix)._5
-                  }
-                  SmallFloat.quantizeLength(len)
-                case None => 1 // tombstoned doc: scored then discarded below
-              }
-              val fqArr = fqB.map(_.value).orNull
-              Kernel.scoreSalt(runs, ql, cls, fieldArr, idfMap, avgLen,
-                minMatch, k, d => !ids.contains(d) ||
-                  (fqArr != null && java.util.Arrays.binarySearch(fqArr, d) < 0))
-            }
-          }
-          .collect()
-        }
+        val localHits = Searcher.shuffleScore(querySession, indexDir,
+          filteredRuns(idfMap.keySet), fqSet.flatMap(_.docs), fqB,
+          (rs, ql, excl) => Kernel.scoreSalt(rs, ql, cls, fieldArr, idfMap,
+            avgLen, minMatch, k, excl))
         merge(localHits, k)
     }
   }
@@ -764,6 +730,62 @@ object Searcher {
     maxInFlightObserved.updateAndGet(m => math.max(m, n))
     try body
     finally { inFlightDistributed.decrementAndGet(); distributedGate.release() }
+  }
+
+  /** The docstats-cogroup scoring job shared by every shuffle-strategy
+    * route (single-query, batched, and the MultiSearcher segment analogs —
+    * formerly four hand-copies): term-filtered runs cogroup with the
+    * segment's docstats BY SALT RANGE after tombstones (anti-join) and any
+    * big-fq match set (semi-join) filter the docstats side; `score` runs
+    * once per salt group against an injected quantized-length lookup and
+    * the exclusion predicate ("no surviving docstats row" = tombstoned or
+    * filtered out; a broadcastable fq rides the predicate instead). Per-
+    * task memory is one salt range of docstats — corpus-size independent.
+    * STATIC so the task closure captures `score`'s locals only, never a
+    * searcher; `score` itself must capture only local vals/broadcasts.
+    */
+  private[query] def shuffleScore[T](
+      session: SparkSession, dir: String,
+      runs: Dataset[PostingRun],
+      fqDocs: Option[DataFrame],
+      fqSorted: Option[Broadcast[Array[Long]]],
+      score: (Array[PostingRun], (Int, Long) => Int, Long => Boolean) => Iterator[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Array[T] = {
+    import session.implicits._
+    val stats = fqDocs.foldLeft(
+        graft.index.Tombstones.exclude(session, dir,
+          session.read.parquet(s"$dir/docstats")
+            .select($"docId", $"salt", $"lenContent", $"lenPath", $"lenRepo"))) {
+        (df, cached) => df.join(cached, Seq("docId"), "left_semi")
+      }
+      .as[(Long, Int, Int, Int, Int)]
+    val fqB = fqSorted
+    gatedJob {
+      runs.groupByKey(_.salt)
+        .cogroup(stats.groupByKey(_._2)) { case (_, runIt, statIt) =>
+          val rs = runIt.toArray
+          if (rs.isEmpty) Iterator.empty
+          else {
+            val arr = statIt.toArray
+            val ids = new mutable.HashMap[Long, Int]()
+            arr.indices.foreach(ix => ids.update(arr(ix)._1, ix))
+            def ql(fi: Int, d: Long): Int = ids.get(d) match {
+              case Some(ix) =>
+                val len = fi match {
+                  case 0 => arr(ix)._3
+                  case 1 => arr(ix)._4
+                  case _ => arr(ix)._5
+                }
+                SmallFloat.quantizeLength(len)
+              case None => 1 // tombstoned/filtered: excluded below
+            }
+            val fqArr = fqB.map(_.value).orNull
+            score(rs, ql, d => !ids.contains(d) ||
+              (fqArr != null && java.util.Arrays.binarySearch(fqArr, d) < 0))
+          }
+        }
+        .collect()
+    }
   }
 
   /** Score every plan of a batch against ONE salt group's runs — the

@@ -149,6 +149,22 @@ class BatchSearchSpec extends AnyFunSuite {
       s"batch of ${batch.size} used $full jobs; a single query used $single")
   }
 
+  test("searchMany honors the shuffle-regime router: no broadcast materialization") {
+    // mass-delete / beyond-norms regime: search() routes every query to the
+    // shuffle strategy; searchMany must follow the SAME router — the
+    // pre-fix path called searchBroadcast unconditionally, lazily
+    // materializing the full tombstone array + norm table on the driver in
+    // exactly the regimes the bounds exist to keep distributed
+    val s = new Searcher(spark, tmp)
+    s.NormsMaxDocs = 0 // corpus "outgrew" broadcast norms
+    val expected = batch.map(q => s.search(q, 10).toSeq)
+    val got = s.searchMany(batch, 10).map(_.toSeq)
+    assert(got == expected, "shuffle-regime batch must equal per-query search")
+    assert(s.liveBroadcastCount == 0,
+      "shuffle-regime batch must not materialize norm/tombstone broadcasts")
+    s.close()
+  }
+
   test("concurrent distributed queries are capped by the global gate") {
     val s = new Searcher(spark, tmp)
     s.DriverKernelMaxPostings = 0 // every query launches a Spark job

@@ -54,6 +54,33 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(clean1 == "m1 m2 m3")
   }
 
+  test("marked positions 2..span-1 apart merge into ONE span (no overlap double-count)") {
+    // doc 1's grams at positions 1 and 3 are each shared (with different
+    // partners); the gram at position 2 is unique. The covered windows
+    // [1..5] and [3..7] overlap, so the result must be ONE span 1-7 with
+    // dup_tokens = 7 — the pre-fix gap>1 islands emitted "1-5|3-7" and
+    // counted 10 duplicated tokens in a 7-token doc
+    val out = run(Seq(
+      (1L, "x1 x2 x3 x4 x5 x6 x7"),
+      (2L, "x1 x2 x3 x4 x5"),
+      (3L, "x3 x4 x5 x6 x7")), span = 5)
+    assert(out(1L) == ((7L, 1L, 7L, "1-7", "")))
+    assert(out(2L) == ((5L, 1L, 5L, "1-5", "")))
+    assert(out(3L) == ((5L, 1L, 5L, "1-5", "")))
+    // abutting windows (gap exactly span) still merge: coverage is contiguous
+    val ab = run(Seq(
+      (1L, "a1 a2 a3 a4 a5 b1 b2 b3 b4 b5 z1"),
+      (2L, "a1 a2 a3 a4 a5"),
+      (3L, "b1 b2 b3 b4 b5")), span = 5)
+    assert(ab(1L) == ((11L, 1L, 10L, "1-10", "z1")))
+    // gap span+1: token between the windows is uncovered -> two spans
+    val sep = run(Seq(
+      (1L, "a1 a2 a3 a4 a5 gap b1 b2 b3 b4 b5"),
+      (2L, "a1 a2 a3 a4 a5"),
+      (3L, "b1 b2 b3 b4 b5")), span = 5)
+    assert(sep(1L) == ((11L, 2L, 10L, "1-5|7-11", "gap")))
+  }
+
   test("agrees with a brute-force reference on the testdata corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text")
@@ -82,7 +109,9 @@ class SubstringDedupSpec extends AnyFunSuite {
         val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
         var s = marked.head; var prev = marked.head
         marked.tail.foreach { p =>
-          if (p > prev + 1) { spans += ((s, prev + span - 1)); s = p }
+          // interval union: windows [p, p+span-1] merge while they overlap
+          // or abut (gap <= span); only a gap > span starts a new span
+          if (p > prev + span) { spans += ((s, prev + span - 1)); s = p }
           prev = p
         }
         spans += ((s, prev + span - 1))
