@@ -708,6 +708,29 @@ object RelationalQueries {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // CCNet/KenLM-style LM quality proxy: per-doc mean negative
+    // log-probability under the corpus unigram model (add-one smoothed) —
+    // the "perplexity filter" of web-scale curation, reduced to the unigram
+    // LM expressible in both engines. Shapes: one (doc, term) tf aggregate,
+    // a vocab-sized unigram table broadcast back over it, per-doc weighted
+    // mean over distinct-term rows (never the raw token stream twice)
+    "q_lm_quality" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val uni = tf.groupBy("term").agg(sum("tf").as("cnt"))
+      val tot = uni.agg(sum("cnt").as("total"), count(lit(1)).as("vocab"))
+      tf.join(broadcast(uni), "term").crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(round(-sum(col("tf") *
+            log((col("cnt") + 1.0) / (col("total") + col("vocab")))) /
+            sum(col("tf")), 6).as("mean_nll"),
+          sum("tf").as("n_tokens"))
+        .withColumn("is_outlier", col("mean_nll") > 3.42)
+        .orderBy(col("doc_id"))
+    }),
+
     // training sequence prep: fixed 64-token windows at stride 48 (25%
     // overlap) — map-only posexplode; every token lands in >= 1 window
     "q_chunk_windows" -> ((s, dir) => {
@@ -1287,6 +1310,25 @@ object RelationalQueries {
         |    ORDER BY tfidf DESC, term) AS rank FROM s)
         |SELECT doc_id, rank::INTEGER AS rank, term, tf, df, tfidf
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // replays the unigram LM: same smoothing, same rounding; the weighted
+    // mean sums doubles so both engines round(.,6) the final statistic
+    "q_lm_quality" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        |  FROM w GROUP BY doc_id, term),
+        |uni AS (SELECT term, sum(tf)::BIGINT AS cnt FROM tf GROUP BY term),
+        |tot AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM uni)
+        |SELECT tf.doc_id,
+        |  round(-sum(tf.tf * ln((uni.cnt + 1.0) / (tot.total + tot.vocab)))
+        |    / sum(tf.tf), 6) AS mean_nll,
+        |  sum(tf.tf)::BIGINT AS n_tokens,
+        |  (round(-sum(tf.tf * ln((uni.cnt + 1.0) / (tot.total + tot.vocab)))
+        |    / sum(tf.tf), 6)) > 3.42 AS is_outlier
+        |FROM tf JOIN uni USING (term) CROSS JOIN tot
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
 
     "q_chunk_windows" ->
       """WITH w AS (SELECT doc_id,
