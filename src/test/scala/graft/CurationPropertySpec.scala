@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent brute-force references for the curation queries whose DuckDB
+  * oracles REPLAY the Spark construction. A replayed oracle is blind to a
+  * defect in the shared logic — exactly how the substring-span overlap bug
+  * survived its hash gate (COVERAGE round-5 self-review) — so each query
+  * here gets a third, imperative computation of the SAME semantics: the
+  * driver compare gates Spark==DuckDB, this spec gates Spark==plain-Scala.
+  */
+class CurationPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val raw: Seq[(Long, String)] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def words(t: String): Array[String] =
+    t.trim.toLowerCase.split("\\s+")
+
+  test("chunk windows == brute force (starts, lengths, fingerprints)") {
+    val got = RelationalQueries.queries("q_chunk_windows")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+    val expect = raw.flatMap { case (id, t) =>
+      val w = words(t)
+      (1 to math.max(w.length, 1) by 48).zipWithIndex.map { case (s, i) =>
+        (id, (i + 1).toLong, s.toLong,
+          math.min(w.length - s + 1, 64).toLong,
+          md5hex(w.slice(s - 1, s - 1 + 64).mkString(" ")))
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(got == expect)
+    assert(expect.exists(_._4 == 64L) && expect.exists(_._4 < 64L),
+      "corpus must exercise both full and short trailing windows")
+  }
+
+  test("tfidf keywords == brute force (scores, ranks, tie-break)") {
+    val got = RelationalQueries.queries("q_tfidf_keywords")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .toSeq
+    val n = raw.size.toLong
+    val tf: Map[(Long, String), Long] = raw.flatMap { case (id, t) =>
+      words(t).toSeq.groupBy(identity).map { case (w, xs) => (id, w) -> xs.size.toLong }
+    }.toMap
+    val df: Map[String, Long] =
+      tf.keys.toSeq.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val expect = raw.flatMap { case (id, t) =>
+      val scored = words(t).distinct.toSeq.map { w =>
+        val f = tf((id, w))
+        (w, f, df(w), round6(f * math.log((n + 1.0) / (df(w) + 1.0))))
+      }.sortBy { case (w, _, _, s) => (-s, w) }.take(3)
+      scored.zipWithIndex.map { case ((w, f, d, s), i) => (id, i + 1, w, f, d, s) }
+    }.sortBy(x => (x._1, x._2))
+    assert(got == expect)
+  }
+
+  test("lm quality == brute force (smoothed unigram NLL, outlier flag)") {
+    val got = RelationalQueries.queries("q_lm_quality")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    val tf: Seq[((Long, String), Long)] = raw.flatMap { case (id, t) =>
+      words(t).toSeq.groupBy(identity).map { case (w, xs) => (id, w) -> xs.size.toLong }
+    }
+    val uni: Map[String, Long] =
+      tf.groupBy(_._1._2).map { case (w, xs) => w -> xs.map(_._2).sum }
+    val total = uni.values.sum
+    val vocab = uni.size.toLong
+    val expect = raw.map { case (id, t) =>
+      val doc = tf.collect { case ((d, w), f) if d == id => (w, f) }
+      val nTok = doc.map(_._2).sum
+      val nll = -doc.map { case (w, f) =>
+        f * math.log((uni(w) + 1.0) / (total + vocab))
+      }.sum / nTok
+      val r = round6(nll)
+      (id, r, nTok, r > 3.42)
+    }.sortBy(_._1)
+    // summation order differs (Spark partial aggregates), so compare the
+    // rounded statistic within one ulp-of-rounding; everything else exact
+    assert(got.size == expect.size)
+    got.zip(expect).foreach { case ((gi, gs, gn, go), (ei, es, en, eo)) =>
+      assert(gi == ei && gn == en && go == eo, s"doc $gi")
+      assert(math.abs(gs - es) <= 1e-6, s"doc $gi: $gs vs $es")
+    }
+    assert(expect.exists(_._4) && expect.exists(!_._4),
+      "outlier flag must bite both ways on this corpus")
+  }
+}
