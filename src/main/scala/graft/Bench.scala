@@ -321,7 +321,14 @@ object Bench {
       "ix_batch_qps" -> batch.size / tBatch,
       "ix_batch_qps_distributed" -> batch.size / tBatchDist,
       "ix_spin_sentinel_end_ms" -> sentinelEndMs,
-      "ix_spin_sentinel_end_mt_ms" -> sentinelEndMtMs)
+      "ix_spin_sentinel_end_mt_ms" -> sentinelEndMtMs,
+      // self-labeling contamination flag: 1.0 when either sentinel pair
+      // shows mt/single > 1.4 (the documented neighbor-load signature) —
+      // a consumer needn't re-derive the ratio to distrust the 32-thread
+      // metrics in this record
+      "ix_load_contaminated" ->
+        (if (sentinelMtMs / sentinelMs > 1.4 ||
+             sentinelEndMtMs / sentinelEndMs > 1.4) 1.0 else 0.0))
   }
 
   def main(args: Array[String]): Unit = {
