@@ -17,6 +17,16 @@ object RelationalQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** (doc_id, term, tf) over the documents table — the shared first stage of
+    * the corpus-statistics queries (TF-IDF, LM quality): lowercased
+    * whitespace words, one (doc, term) count aggregate.
+    */
+  private def docTermTf(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §3.3 fix_for_reindex repair catalog (reindex.py:50-137): computed-field
@@ -689,13 +699,9 @@ object RelationalQueries {
     // per-doc top-k via window rank. Scores round(.,6) in BOTH engines so
     // last-ulp ln() divergence can't flip the hash; ties break on term asc
     "q_tfidf_keywords" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val tf = docs
-        .select(col("doc_id"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val tf = docTermTf(s, dir)
       val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val n = docs.agg(count(lit(1)).as("n"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("term"))
       tf.join(dfTab, "term").crossJoin(n)
@@ -713,19 +719,21 @@ object RelationalQueries {
     // the "perplexity filter" of web-scale curation, reduced to the unigram
     // LM expressible in both engines. Shapes: one (doc, term) tf aggregate,
     // a vocab-sized unigram table broadcast back over it, per-doc weighted
-    // mean over distinct-term rows (never the raw token stream twice)
+    // mean over distinct-term rows (never the raw token stream twice).
+    // Each term's contribution tf*ln(p) is QUANTIZED to an integer
+    // (micro-nats, HALF_UP in both engines) before the per-doc sum, so the
+    // cross-row aggregation is exact-integer and ORDER-INDEPENDENT — a raw
+    // double sum would make the hash gate hostage to summation order
     "q_lm_quality" -> ((s, dir) => {
-      val tf = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val tf = docTermTf(s, dir)
       val uni = tf.groupBy("term").agg(sum("tf").as("cnt"))
       val tot = uni.agg(sum("cnt").as("total"), count(lit(1)).as("vocab"))
       tf.join(broadcast(uni), "term").crossJoin(tot)
+        .withColumn("c_micro",
+          round(col("tf") * log((col("cnt") + 1.0) /
+            (col("total") + col("vocab"))) * 1e6).cast("long"))
         .groupBy("doc_id")
-        .agg(round(-sum(col("tf") *
-            log((col("cnt") + 1.0) / (col("total") + col("vocab")))) /
-            sum(col("tf")), 6).as("mean_nll"),
+        .agg(round(-sum(col("c_micro")) / 1e6 / sum(col("tf")), 6).as("mean_nll"),
           sum("tf").as("n_tokens"))
         .withColumn("is_outlier", col("mean_nll") > 3.42)
         .orderBy(col("doc_id"))
@@ -1311,8 +1319,11 @@ object RelationalQueries {
         |SELECT doc_id, rank::INTEGER AS rank, term, tf, df, tfidf
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
-    // replays the unigram LM: same smoothing, same rounding; the weighted
-    // mean sums doubles so both engines round(.,6) the final statistic
+    // replays the unigram LM: same smoothing, same micro-nat quantization
+    // (round() ties away from zero in both engines), so the per-doc sum is
+    // exact-integer and order-independent — only a per-TERM product within
+    // one ulp of a .5 micro-nat boundary could ever diverge, not summation
+    // order
     "q_lm_quality" ->
       """WITH w AS (SELECT doc_id,
         |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
@@ -1320,15 +1331,16 @@ object RelationalQueries {
         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
         |  FROM w GROUP BY doc_id, term),
         |uni AS (SELECT term, sum(tf)::BIGINT AS cnt FROM tf GROUP BY term),
-        |tot AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM uni)
-        |SELECT tf.doc_id,
-        |  round(-sum(tf.tf * ln((uni.cnt + 1.0) / (tot.total + tot.vocab)))
-        |    / sum(tf.tf), 6) AS mean_nll,
-        |  sum(tf.tf)::BIGINT AS n_tokens,
-        |  (round(-sum(tf.tf * ln((uni.cnt + 1.0) / (tot.total + tot.vocab)))
-        |    / sum(tf.tf), 6)) > 3.42 AS is_outlier
-        |FROM tf JOIN uni USING (term) CROSS JOIN tot
-        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+        |tot AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM uni),
+        |c AS (SELECT tf.doc_id, tf.tf,
+        |    round(tf.tf * ln((uni.cnt + 1.0) / (tot.total + tot.vocab))
+        |      * 1e6)::BIGINT AS c_micro
+        |  FROM tf JOIN uni USING (term) CROSS JOIN tot)
+        |SELECT doc_id,
+        |  round(-sum(c_micro) / 1e6 / sum(tf), 6) AS mean_nll,
+        |  sum(tf)::BIGINT AS n_tokens,
+        |  (round(-sum(c_micro) / 1e6 / sum(tf), 6)) > 3.42 AS is_outlier
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_chunk_windows" ->
       """WITH w AS (SELECT doc_id,

@@ -66,33 +66,33 @@ class CurationPropertySpec extends AnyFunSuite {
     assert(got == expect)
   }
 
-  test("lm quality == brute force (smoothed unigram NLL, outlier flag)") {
+  test("lm quality == brute force (micro-nat quantization, outlier flag)") {
     val got = RelationalQueries.queries("q_lm_quality")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3)))
       .toSeq
-    val tf: Seq[((Long, String), Long)] = raw.flatMap { case (id, t) =>
-      words(t).toSeq.groupBy(identity).map { case (w, xs) => (id, w) -> xs.size.toLong }
-    }
-    val uni: Map[String, Long] =
-      tf.groupBy(_._1._2).map { case (w, xs) => w -> xs.map(_._2).sum }
+    def roundL(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val perDoc: Map[Long, Seq[(String, Long)]] = raw.map { case (id, t) =>
+      id -> words(t).toSeq.groupBy(identity).toSeq
+        .map { case (w, xs) => w -> xs.size.toLong }
+    }.toMap
+    val uni: Map[String, Long] = perDoc.valuesIterator.flatten.toSeq
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
     val total = uni.values.sum
     val vocab = uni.size.toLong
-    val expect = raw.map { case (id, t) =>
-      val doc = tf.collect { case ((d, w), f) if d == id => (w, f) }
+    val expect = raw.map { case (id, _) =>
+      val doc = perDoc(id)
       val nTok = doc.map(_._2).sum
-      val nll = -doc.map { case (w, f) =>
-        f * math.log((uni(w) + 1.0) / (total + vocab))
-      }.sum / nTok
-      val r = round6(nll)
+      // contributions quantized to micro-nats THEN summed: exact-integer,
+      // order-independent — so the comparison here is full equality, no
+      // floating tolerance (the quantization is the query's own contract)
+      val cMicro = doc.map { case (w, f) =>
+        roundL(f * math.log((uni(w) + 1.0) / (total + vocab)) * 1e6)
+      }.sum
+      val r = round6(-cMicro / 1e6 / nTok.toDouble)
       (id, r, nTok, r > 3.42)
     }.sortBy(_._1)
-    // summation order differs (Spark partial aggregates), so compare the
-    // rounded statistic within one ulp-of-rounding; everything else exact
-    assert(got.size == expect.size)
-    got.zip(expect).foreach { case ((gi, gs, gn, go), (ei, es, en, eo)) =>
-      assert(gi == ei && gn == en && go == eo, s"doc $gi")
-      assert(math.abs(gs - es) <= 1e-6, s"doc $gi: $gs vs $es")
-    }
+    assert(got == expect)
     assert(expect.exists(_._4) && expect.exists(!_._4),
       "outlier flag must bite both ways on this corpus")
   }
