@@ -64,17 +64,59 @@ case class SimHash64(child: Expression, maxTokens: Int = 128)
   }
 }
 
+/** Native one-pass 64-bit token hash: first 8 bytes of md5(string) as a
+  * big-endian SIGNED long — value-identical to [[graft.ops.Dedup.tokenHash64]]
+  * (`(conv(hex[0,8],16,10) << 32) | conv(hex[8,8],16,10)`, OpsSpec gates the
+  * bit-identity) but with NO hex-string intermediate: the column form
+  * allocates a 32-char hex string plus two substrings per value, which at
+  * one hash per exploded gram (SubstringDedup, Decontaminate — hundreds of
+  * millions of rows at the 1M-doc bench) is the hot allocation site.
+  * Interpreted eval (CodegenFallback): the md5 digest dominates either way.
+  */
+case class Hash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_hash64 expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hash64"
+
+  override protected def withNewChildInternal(newChild: Expression): Hash64 =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    var h = 0L
+    var b = 0
+    while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+    h
+  }
+}
+
 object GraftFunctions {
-  /** Register graft's native expressions on a session; after this,
-    * `call_function("graft_simhash64", col)` / SQL `graft_simhash64(arr)`
-    * resolve to the one-pass expression.
+  private val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("graft_simhash64"),
+        new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+        (exprs: Seq[Expression]) => SimHash64(exprs.head)),
+      (FunctionIdentifier("graft_hash64"),
+        new ExpressionInfo(classOf[Hash64].getName, "graft_hash64"),
+        (exprs: Seq[Expression]) => Hash64(exprs.head)))
+
+  /** Register graft's native expressions on a session (idempotent); after
+    * this, `call_function("graft_simhash64", col)` / SQL resolve to the
+    * one-pass expressions.
     */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.registerFunction(
-      FunctionIdentifier("graft_simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head))
+    entries.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
   }
 }
 
@@ -94,5 +136,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash64"),
+      new ExpressionInfo(classOf[Hash64].getName, "graft_hash64"),
+      (exprs: Seq[Expression]) => Hash64(exprs.head)))
   }
 }

@@ -39,7 +39,8 @@ object Decontaminate {
       .select(col(idCol).cast("long").as("doc_id"),
         split(lower(trim(col(textCol))), "\\s+").as("w"))
       .select(col("doc_id"), explode(Dedup.shingles(col("w"), n)).as("gram"))
-      .select(col("doc_id"), Dedup.tokenHash64(col("gram")).as("g"))
+      .select(col("doc_id"),
+        Dedup.tokenHash64Native(docs.sparkSession, col("gram")).as("g"))
 
   /** Annotate every `train` document with its n-gram overlap against `eval`:
     * (doc_id, n_grams, n_dirty_grams = distinct shared grams, first_eval_doc

@@ -30,13 +30,24 @@ object Dedup {
 
   /** 64-bit token hash from md5 hex: two 32-bit halves via conv(16->10),
     * recombined — conv of 8 hex chars always fits a long, so this stays
-    * engine-portable and overflow-free.
+    * engine-portable and overflow-free. Builtins-only form; prefer
+    * [[tokenHash64Native]] on hot gram streams.
     */
   def tokenHash64(token: Column): Column = {
     val hex = md5(token)
     val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
     val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
     shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
+  /** [[tokenHash64]] as the native one-pass expression (graft_hash64,
+    * bit-identical — OpsSpec gates it): digest bytes -> long directly, no
+    * 32-char hex string + two substrings per value. Registers the function
+    * on `spark` (idempotent) so callers needn't manage the registry.
+    */
+  def tokenHash64Native(spark: org.apache.spark.sql.SparkSession, token: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    call_function("graft_hash64", token)
   }
 
   /** SimHash-64 over a token array: for each of 64 bits, sum +1/-1 weighted

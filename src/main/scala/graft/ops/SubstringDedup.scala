@@ -52,7 +52,7 @@ object SubstringDedup {
     val grams = toks.filter(size(col("w")) >= span)
       .select(col("doc_id"), posexplode(Dedup.shingles(col("w"), span)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"),
-        Dedup.tokenHash64(col("col")).as("g"))
+        Dedup.tokenHash64Native(docs.sparkSession, col("col")).as("g"))
     val perGram = Window.partitionBy("g")
     val marked = grams
       .withColumn("mn", min("doc_id").over(perGram))

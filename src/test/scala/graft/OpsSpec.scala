@@ -185,6 +185,24 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getInt(1) >= 1, s"pair ${r.getInt(0)} shares no fingerprint"))
   }
 
+  test("native graft_hash64 == builtins tokenHash64, bit for bit") {
+    // the native form skips the hex-string intermediate on the hot gram
+    // streams (SubstringDedup, Decontaminate) — it must agree with the
+    // conv-based column form (which the DuckDB oracles mirror) on every
+    // value class: ascii, unicode, empty, long, null
+    val rows = (0 until 500).map(i => s"tok$i gram ${i * 37}") ++
+      Seq("", "café 中文 😀", "a" * 4096)
+    val df = rows.toDF("t")
+      .select(graft.ops.Dedup.tokenHash64($"t").as("ref"),
+        graft.ops.Dedup.tokenHash64Native(spark, $"t").as("got"))
+    assert(df.filter($"ref" =!= $"got").count() == 0)
+    assert(df.filter($"ref".isNull || $"got".isNull).count() == 0)
+    val nulls = Seq[Option[String]](Some("x"), None).toDF("t")
+      .select(graft.ops.Dedup.tokenHash64Native(spark, $"t").as("got"))
+      .collect()
+    assert(nulls.count(_.isNullAt(0)) == 1, "null input -> null, like md5()")
+  }
+
   test("PII redaction: planted classes scrubbed, clean text untouched, counts right") {
     import graft.ops.TextOps
     val rows = Seq(
