@@ -350,14 +350,13 @@ object Bench {
     // warm-up above: absorb engine-fixed first-use cost, not query work
     locally {
       import org.apache.spark.sql.functions._
-      val d = spark.range(3)
-        .select(col("id"), concat(lit("a b c d e f "), col("id").cast("string")).as("t"))
-        .withColumn("sh", graft.ops.Dedup.shingles(split(col("t"), " "), 3))
-        .withColumn("hs", graft.ops.Dedup.minhashHashes(col("sh")))
-        .withColumn("b", explode_outer(graft.ops.Dedup.minhashBandsFromHashes(col("hs"), 8)))
-        .select(col("id"), col("b.band").as("band"), col("b.sig").as("sig"))
+      // warm the EXACT shipped banding path (native digest included)
+      val d = graft.ops.Dedup.bandedProjection(
+        spark.range(3).select(col("id").as("doc_id"),
+          concat(lit("a b c d e f "), col("id").cast("string")).as("text")),
+        "doc_id", "text", 3, 8)
       d.as("l").join(d.as("r"), Seq("band", "sig"))
-        .groupBy(col("l.id")).count().collect()
+        .groupBy(col("l._id")).count().collect()
     }
 
     val relational = (RelationalQueries.queries ++ UrsusRecordQueries.queries ++

@@ -87,8 +87,13 @@ case class Hash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Hash64 =
     copy(child = newChild)
 
+  // one digest per deserialized expression copy (tasks own their tree, so
+  // eval is single-threaded per instance) — getInstance per VALUE was a
+  // provider lookup per gram
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
   override protected def nullSafeEval(input: Any): Any = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    md.reset()
     val d = md.digest(
       input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
     var h = 0L

@@ -174,6 +174,17 @@ object Dedup {
   def minhashHashes(sh: Column): Column =
     transform(sh, s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
 
+  /** [[minhashHashes]] via the native digest expression: the unsigned high
+    * 32 bits of graft_hash64 equal `conv(hex[1,8],16,10)` exactly (OpsSpec
+    * gates element-wise identity), minus the 32-char hex string + substring
+    * the builtins form allocates per shingle — the dominant allocation of
+    * the banding stage. Registers the function on `spark` (idempotent).
+    */
+  def minhashHashesNative(spark: org.apache.spark.sql.SparkSession, sh: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    transform(sh, s => shiftrightunsigned(call_function("graft_hash64", s), 32))
+  }
+
   /** MinHash signature bands over a pre-hashed shingle array: band b's
     * signature is min over shingles of the affine (a_b·h + c_b) mod P —
     * Broder-style universal hashing. One digest per shingle instead of one
@@ -237,7 +248,7 @@ object Dedup {
     df
       .withColumn("_w", split(lower(trim(col(textCol))), "\\s+"))
       .withColumn("_sh", array_distinct(shingles(col("_w"), shingleK)))
-      .withColumn("_hs", minhashHashes(col("_sh")))
+      .withColumn("_hs", minhashHashesNative(df.sparkSession, col("_sh")))
       .withColumn("_b", minhashBandsFromHashes(col("_hs"), bands))
       .select(col(idCol).as("_id"), explode_outer(col("_b")).as("bs"))
       .select(col("_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))

@@ -371,7 +371,23 @@ class OpsSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     def count(needle: String): Int = needle.r.findAllIn(plan).length
     assert(count("split\\(") == 1, s"expected ONE split in plan:\n$plan")
-    assert(count("md5\\(") == 1, s"expected ONE md5 in plan:\n$plan")
+    assert(count("graft_hash64") == 1,
+      s"expected ONE graft_hash64 digest pass in plan:\n$plan")
+    assert(count("md5\\(") == 0,
+      s"native digest path must not fall back to md5:\n$plan")
+  }
+
+  test("native minhash hashes == builtins form, element for element") {
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "")),
+      (2L, Seq("café 中文", "x"))).toDF("id", "sh")
+    val rows = df.select($"id",
+        Dedup.minhashHashes($"sh").as("ref"),
+        Dedup.minhashHashesNative(spark, $"sh").as("got"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id ${r.getLong(0)}")
+    }
   }
 
   test("minhash bands: identical shingle sets share every band signature") {
