@@ -739,6 +739,17 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // GPT-style sequence packing (concat corpus in doc order, split at 2048
+    // tokens): per-doc global token offset + the sequence ids it lands in.
+    // The offsets use the docId-assignment shape — range partition +
+    // per-partition sums + broadcast prefix — because a bare running-sum
+    // window with no partition key is a ONE-task stage at corpus scale
+    "q_pack_sequences" -> ((s, dir) => {
+      graft.ops.Packing.packSequences(
+        t(s, dir, "documents"), "doc_id", "text", seqLen = 2048)
+        .orderBy(col("doc_id"))
+    }),
+
     // training sequence prep: fixed 64-token windows at stride 48 (25%
     // overlap) — map-only posexplode; every token lands in >= 1 window
     "q_chunk_windows" -> ((s, dir) => {
@@ -1341,6 +1352,24 @@ object RelationalQueries {
         |  sum(tf)::BIGINT AS n_tokens,
         |  (round(-sum(c_micro) / 1e6 / sum(tf), 6)) > 3.42 AS is_outlier
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // replays the packing map with a plain running-sum window (fine for the
+    // oracle's single node; the Spark side must NOT use that shape)
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS "offset"
+        |  FROM t)
+        |SELECT doc_id, n_tokens, "offset",
+        |  ("offset" // 2048)::BIGINT AS first_seq,
+        |  (("offset" + n_tokens - 1) // 2048)::BIGINT AS last_seq,
+        |  (("offset" + n_tokens - 1) // 2048 - "offset" // 2048 + 1)::BIGINT
+        |    AS n_seqs
+        |FROM o ORDER BY doc_id""".stripMargin,
 
     "q_chunk_windows" ->
       """WITH w AS (SELECT doc_id,

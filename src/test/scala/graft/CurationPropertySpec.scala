@@ -66,6 +66,26 @@ class CurationPropertySpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("sequence packing == brute force; offsets parallelism-independent") {
+    val docsDF = spark.read.parquet(s"$dir/documents.parquet")
+    def run(parts: Int): Seq[(Long, Long, Long, Long, Long, Long)] =
+      graft.ops.Packing.packSequences(docsDF, "doc_id", "text", 2048, parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    // the load-bearing property: global offsets must not depend on the
+    // partitioning (range bounds + prefix offsets, not a lucky task order)
+    val got2 = run(2)
+    assert(got2 == run(16), "offsets must be identical at 2 vs 16 partitions")
+    var off = 0L
+    val expect = raw.sortBy(_._1).map { case (id, t) =>
+      val n = t.trim.split("\\s+").length.toLong
+      val o = off; off += n
+      (id, n, o, o / 2048, (o + n - 1) / 2048, (o + n - 1) / 2048 - o / 2048 + 1)
+    }
+    assert(got2 == expect)
+    assert(expect.exists(_._6 > 1), "a doc must straddle a sequence boundary")
+  }
+
   test("lm quality == brute force (micro-nat quantization, outlier flag)") {
     val got = RelationalQueries.queries("q_lm_quality")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3)))
