@@ -3,19 +3,26 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** One-shot empirical validation of the dedup/curation family's scaling
-  * claims at 1M+ docs (VERDICT r4 #6): the battery only ever times these at
-  * sf0.1 (50k docs), so the scaling arguments were analytical until run
-  * here. Legs (selectable): `corpus` — the full corpus-dedup pipeline
+  * claims at 1M+ docs (VERDICT r4 #6, r5 #1/#6): the battery only ever times
+  * these at sf0.1 (50k docs), so the scaling arguments were analytical until
+  * run here. Legs (selectable): `corpus` — the full corpus-dedup pipeline
   * (shingle -> hash-once MinHash -> banded star edges -> connected
   * components -> anti-join survivors); `spans` — exact-substring span dedup
-  * (span-gram inverted index, Lee et al. regime); `decon` — benchmark
-  * decontamination (8-gram overlap vs a ~0.1% eval slice). Each leg reports
-  * wall time, docs/s and total shuffle volume (StageMetrics). Results are
-  * curated into BENCH/BASELINE.md; the run also writes
-  * BENCH/DEDUP_SCALE_LAST.md.
+  * (span-gram inverted index, Lee et al. regime); `hotspans` — the SAME
+  * operator over a corpus with a 16-token boilerplate license header planted
+  * in 25% of docs (every one of its 10-grams occurs in 250k docs — the
+  * straggler class the round-6 groupBy+semi-join marking rewrite targets;
+  * the leg reports the worst max/median task-duration ratio, gate <= 2x);
+  * `decon` — benchmark decontamination (8-gram overlap vs a ~0.1% eval
+  * slice); `funnel` — the composed curation funnel (ops.Curation: langid ->
+  * quality -> exact dedup -> near-dup dedup with per-stage budgets). Each
+  * leg reports wall time, docs/s, total shuffle volume, and task skew
+  * (StageMetrics). Results are curated into BENCH/BASELINE.md; the run also
+  * writes BENCH/DEDUP_SCALE_LAST.md.
   *
-  * Usage: runMain graft.DedupScaleBench [nDocs] [cpus] [corpus|spans|decon|all]
-  * (defaults 1000000, 32, corpus; SPARK_DRIVER_MEM sizes the forked heap)
+  * Usage: runMain graft.DedupScaleBench [nDocs] [cpus]
+  * [corpus|spans|hotspans|decon|funnel|all] (defaults 1000000, 32, corpus;
+  * SPARK_DRIVER_MEM sizes the forked heap)
   */
 object DedupScaleBench {
   def main(args: Array[String]): Unit = {
@@ -23,7 +30,7 @@ object DedupScaleBench {
     val cpus = if (args.length > 1) args(1) else "32"
     val legsArg = if (args.length > 2) args(2) else "corpus"
     val legs: Seq[String] =
-      if (legsArg == "all") Seq("corpus", "spans", "decon")
+      if (legsArg == "all") Seq("corpus", "spans", "hotspans", "decon", "funnel")
       else legsArg.split(",").toSeq
     val spark = Bench.newSession(cpus)
     import spark.implicits._
@@ -36,15 +43,33 @@ object DedupScaleBench {
 
     // materialize the input untimed (these ops read an EXISTING table;
     // corpus generation is bench scaffolding, not engine work)
-    val src = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
-        else System.getProperty("java.io.tmpdir")), "graftdedupscale").toString
+    val tmpRoot = java.nio.file.Paths.get(
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir"))
+    val src = java.nio.file.Files.createTempDirectory(tmpRoot, "graftdedupscale").toString
     corpus(nDocs).write.mode("overwrite").parquet(src)
     val docs = spark.read.parquet(src)
 
+    // hot-gram corpus: the same table with a fixed 16-token license header
+    // prepended to doc_id % 4 == 0 (25% of the corpus shares one boilerplate
+    // span; its 7 distinct 10-grams each occur nDocs/4 times). Written only
+    // when the hotspans leg runs.
+    var hotDirCreated: Option[String] = None
+    lazy val hotSrc = {
+      val header = (1 to 16).map(i => s"graftlicense$i").mkString(" ")
+      val dir = java.nio.file.Files.createTempDirectory(tmpRoot, "graftdedupehot").toString
+      docs.select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, concat(lit(header + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+        .write.mode("overwrite").parquet(dir)
+      hotDirCreated = Some(dir)
+      dir
+    }
+
     val sm = StageMetrics.install(spark)
     case class Leg(name: String, rows: Long, sec: Double,
-                   shufWriteMB: Double, shufReadMB: Double, spillMB: Double)
+                   shufWriteMB: Double, shufReadMB: Double, spillMB: Double,
+                   taskSkew: Double, skewStage: String)
 
     // per leg: JIT/codegen warm-up on a small slice, untimed (same protocol
     // as Bench), then one measured end-to-end pass over the full table
@@ -52,9 +77,11 @@ object DedupScaleBench {
       warm
       sm.reset()
       val (n, sec) = Bench.time(body)
+      val (skew, worst) = sm.worstTaskSkew()
       val leg = sm.rows.synchronized {
         Leg(name, n, sec, sm.rows.map(_.shufWriteMB).sum,
-          sm.rows.map(_.shufReadMB).sum, sm.rows.map(_.spillMB).sum)
+          sm.rows.map(_.shufReadMB).sum, sm.rows.map(_.spillMB).sum,
+          skew, worst.map(r => s"${r.stageId}:${r.name.take(24)}").getOrElse("-"))
       }
       sm.report(s"$name nDocs=$nDocs")
       leg
@@ -74,6 +101,15 @@ object DedupScaleBench {
         graft.ops.SubstringDedup
           .duplicatedSpans(docs, "doc_id", "text", span = 10).count()
       }
+      case "hotspans" =>
+        val hot = spark.read.parquet(hotSrc)
+        runLeg("substringSpansHotGram") {
+          graft.ops.SubstringDedup
+            .duplicatedSpans(hot.limit(5000), "doc_id", "text", span = 10).count()
+        } {
+          graft.ops.SubstringDedup
+            .duplicatedSpans(hot, "doc_id", "text", span = 10).count()
+        }
       // count CONTAMINATED rows: a bare count() of the annotation is
       // eliminated by Catalyst (left join on the provably-unique dirty key
       // preserves row count), so it would measure a filter, not the probe —
@@ -87,34 +123,49 @@ object DedupScaleBench {
           docs.filter(evalPred), "doc_id", "text", n = 8)
           .filter(col("contaminated")).count()
       }
+      case "funnel" => runLeg("curationFunnel") {
+        graft.ops.Curation.funnel(docs.limit(5000), "doc_id", "text").count()
+      } {
+        val stages = graft.ops.Curation.funnel(docs, "doc_id", "text").collect()
+        stages.foreach(r => System.err.println(s"[funnel] $r"))
+        stages.last.getLong(1) // near-dup-deduped survivors
+      }
       case other => sys.error(s"unknown leg: $other")
     }
 
     val table = results.map { l =>
-      f"| ${l.name} | ${l.rows} | ${l.sec}%.2f | ${nDocs / l.sec}%.0f | ${l.shufWriteMB}%.0f | ${l.shufReadMB}%.0f | ${l.spillMB}%.0f |"
+      f"| ${l.name} | ${l.rows} | ${l.sec}%.2f | ${nDocs / l.sec}%.0f | ${l.shufWriteMB}%.0f | ${l.shufReadMB}%.0f | ${l.spillMB}%.0f | ${l.taskSkew}%.2f (${l.skewStage}) |"
     }.mkString("\n")
     val md =
       f"""# BENCH/DEDUP_SCALE_LAST — curation family at $nDocs docs
          |
-         || leg | result rows | wall sec | docs/sec | shW MB | shR MB | spill MB |
-         ||---|---|---|---|---|---|---|
+         || leg | result rows | wall sec | docs/sec | shW MB | shR MB | spill MB | task skew max/med |
+         ||---|---|---|---|---|---|---|---|
          |$table%s
          |
          |Legs: dedupCorpus = shingle(k=3) -> hash-once MinHash -> 8-band star
          |edges -> connected components -> anti-join survivors;
-         |substringSpans = span-gram(10) inverted index -> min/max dup keys ->
-         |semi-join -> gaps-and-islands merge; decontaminate = 8-gram overlap
-         |vs the ~0.1%% eval slice (doc_id %% 997 == 0). local[$cpus].
+         |substringSpans = span-gram(10) inverted index -> groupBy(g) min/max
+         |partial-agg -> semi-join marked positions -> gaps-and-islands merge;
+         |substringSpansHotGram = the same over a corpus with a 16-token
+         |boilerplate header in 25%% of docs (each header 10-gram occurs in
+         |${nDocs / 4} docs) — straggler gate: task skew <= 2x on every heavy
+         |stage; decontaminate = 8-gram overlap vs the ~0.1%% eval slice
+         |(doc_id %% 997 == 0); curationFunnel = ops.Curation (langid ->
+         |quality -> exact dedup -> near-dup dedup, per-stage budgets).
+         |Task skew = max/median task duration of the worst stage with >= 8
+         |tasks and median >= 200 ms. local[$cpus].
          |""".stripMargin
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH/DEDUP_SCALE_LAST.md"), md)
     println(md)
     results.foreach { l =>
-      println(f"""{"metric":"${l.name}_docs_per_sec","value":${nDocs / l.sec}%.1f,"unit":"docs/sec","nDocs":$nDocs,"rows":${l.rows},"shuffle_write_mb":${l.shufWriteMB}%.0f,"shuffle_read_mb":${l.shufReadMB}%.0f}""")
+      println(f"""{"metric":"${l.name}_docs_per_sec","value":${nDocs / l.sec}%.1f,"unit":"docs/sec","nDocs":$nDocs,"rows":${l.rows},"shuffle_write_mb":${l.shufWriteMB}%.0f,"shuffle_read_mb":${l.shufReadMB}%.0f,"task_skew":${l.taskSkew}%.2f}""")
     }
     import scala.reflect.io.Directory
     new Directory(new java.io.File(src)).deleteRecursively()
+    hotDirCreated.foreach(d => new Directory(new java.io.File(d)).deleteRecursively())
     spark.stop()
   }
 }

@@ -467,47 +467,14 @@ object RelationalQueries {
     // q_fingerprint, q_dedup_corpus); the composed DuckDB oracle replays
     // the same funnel, so the hash check gates the whole pipeline SHAPE —
     // filters feeding dedups feeding the budget — not just the islands.
-    "q_pipeline_curation" -> ((s, dir) => {
-      val wordsLower = split(lower(col("text")), "\\s+")
-      val en = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
-      val es = array(Seq("el", "la", "de", "y", "que").map(lit): _*)
-      val de = array(Seq("der", "die", "das", "und", "ist").map(lit): _*)
-      val raw = t(s, dir, "documents").filter(col("doc_id") < 2000)
-        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
-      // every gate BITES on this corpus (thresholds sized to the data so the
-      // funnel is non-vacuous: ~9% fail strict language dominance, ~45% the
-      // token floor, ~5% share a prefix fingerprint)
-      val langEn = raw
-        .withColumn("s_en", size(array_intersect(wordsLower, en)))
-        .withColumn("s_es", size(array_intersect(wordsLower, es)))
-        .withColumn("s_de", size(array_intersect(wordsLower, de)))
-        .filter(col("s_en") > col("s_es") && col("s_en") > col("s_de"))
-      val quality = langEn
-        .withColumn("alpha", length(regexp_replace(col("text"), "[^a-zA-Z]", "")))
-        .filter(col("n_tokens") >= 50 && col("n_tokens") <= 10000 &&
-          col("alpha") * 2 > length(col("text")))
-      // exact dedup on the 5-token prefix fingerprint (q_dedup_exact's
-      // definition): min doc_id per fingerprint survives
-      val exact = quality
-        .withColumn("fp",
-          md5(concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 5))))
-        .withColumn("rep", min(col("doc_id")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-        .filter(col("doc_id") === col("rep"))
-      val near = graft.ops.Dedup.dedupCorpus(
-        exact.select("doc_id", "text", "n_tokens")
-          .repartition(s.sparkContext.defaultParallelism), "doc_id", "text")
-      def stage(name: String, df: DataFrame): DataFrame =
-        df.agg(count(lit(1)).as("n_docs"),
-            coalesce(sum(col("n_tokens")), lit(0L)).as("sum_tokens"))
-          .select(lit(name).as("stage"), col("n_docs"), col("sum_tokens"))
-      stage("00_raw", raw)
-        .unionByName(stage("10_lang_en", langEn))
-        .unionByName(stage("20_quality", quality))
-        .unionByName(stage("30_exact_dedup", exact))
-        .unionByName(stage("40_neardup_dedup", near))
-        .orderBy(col("stage"))
-    }),
+    // every gate BITES on this corpus (thresholds sized to the data so the
+    // funnel is non-vacuous: ~9% fail strict language dominance, ~45% the
+    // token floor, ~5% share a prefix fingerprint); the implementation
+    // lives in ops.Curation so DedupScaleBench runs the SAME funnel at 1M
+    "q_pipeline_curation" -> ((s, dir) =>
+      graft.ops.Curation.funnel(
+        t(s, dir, "documents").filter(col("doc_id") < 2000),
+        "doc_id", "text")),
 
     // F6 serialize_term: controlled-vocabulary id->label via broadcast map
     // (util.py:240-299, controlled_fields.py:15-782)

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The COMPOSED curation pipeline a training-data run actually executes, as
+  * one funnel: language-ID gate (predicted en) -> quality gate -> exact
+  * dedup (canonical-fingerprint groupBy) -> MinHash near-dup dedup (star
+  * edges + connected components) -> per-stage doc/token budget. Every stage
+  * reuses an oracle-proven operator (q_langid, q_quality, q_fingerprint,
+  * q_dedup_corpus); the composed DuckDB oracle (q_pipeline_curation) replays
+  * the same funnel, so the hash check gates the whole pipeline SHAPE —
+  * filters feeding dedups feeding the budget — not just the islands.
+  *
+  * Factored out of RelationalQueries so DedupScaleBench can run the SAME
+  * composed funnel at 1M docs (the battery exercises it at 2k): the island
+  * operators are scale-validated individually, but the funnel's intermediate
+  * materialization behavior (exact-dedup aggregate -> dedupCorpus
+  * repartition) only shows up composed.
+  */
+object Curation {
+
+  /** Stage-budget table (stage, n_docs, sum_tokens), one row per funnel
+    * stage, ordered by stage. Thresholds are the battery's (sized so every
+    * gate bites on the synthetic corpora: ~9% fail strict language
+    * dominance, ~45% the token floor, ~5% share a prefix fingerprint).
+    */
+  def funnel(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wordsLower = split(lower(col("text")), "\\s+")
+    val en = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+    val es = array(Seq("el", "la", "de", "y", "que").map(lit): _*)
+    val de = array(Seq("der", "die", "das", "und", "ist").map(lit): _*)
+    val raw = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+    val langEn = raw
+      .withColumn("s_en", size(array_intersect(wordsLower, en)))
+      .withColumn("s_es", size(array_intersect(wordsLower, es)))
+      .withColumn("s_de", size(array_intersect(wordsLower, de)))
+      .filter(col("s_en") > col("s_es") && col("s_en") > col("s_de"))
+    val quality = langEn
+      .withColumn("alpha", length(regexp_replace(col("text"), "[^a-zA-Z]", "")))
+      .filter(col("n_tokens") >= 50 && col("n_tokens") <= 10000 &&
+        col("alpha") * 2 > length(col("text")))
+    // exact dedup on the 5-token prefix fingerprint (q_dedup_exact's
+    // definition): min doc_id per fingerprint survives. Shape: map-side-
+    // combinable groupBy(fp) -> semi-join back on doc_id (unique, so the
+    // join key can never skew) — a min-over-Window.partitionBy(fp) would
+    // put every holder of a hot boilerplate prefix into one task's sort
+    // group, the same straggler class SubstringDedup's gram marking fixed
+    val fp = md5(concat_ws(" ",
+      slice(split(lower(trim(col("text"))), "\\s+"), 1, 5)))
+    val exactReps = quality.withColumn("fp", fp)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exact = quality.join(exactReps, Seq("doc_id"), "left_semi")
+    val near = Dedup.dedupCorpus(
+      exact.select("doc_id", "text", "n_tokens")
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism),
+      "doc_id", "text")
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("sum_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("sum_tokens"))
+    stage("00_raw", raw)
+      .unionByName(stage("10_lang_en", langEn))
+      .unionByName(stage("20_quality", quality))
+      .unionByName(stage("30_exact_dedup", exact))
+      .unionByName(stage("40_neardup_dedup", near))
+      .orderBy(col("stage"))
+  }
+}

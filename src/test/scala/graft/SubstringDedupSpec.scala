@@ -81,6 +81,44 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(sep(1L) == ((11L, 2L, 10L, "1-5|7-11", "gap")))
   }
 
+  test("10^4 spans in one doc reconstruct linearly (two-pointer cut, not per-token exists)") {
+    // 10,000 shared 5-token windows separated by gap tokens (> span apart so
+    // every window is its own span). The round-5 per-token exists() shape was
+    // O(tokens x spans) — ~6.6e8 lambda evals for this row; the two-pointer
+    // aggregate is O(tokens + spans) and must finish inside the suite budget.
+    val nSpans = 10000
+    val d1 = (0 until nSpans).map { i =>
+      (1 to 5).map(j => s"s${i}_$j").mkString(" ") + s" gap$i"
+    }.mkString(" ")
+    val d2 = (0 until nSpans).map { i =>
+      (1 to 5).map(j => s"s${i}_$j").mkString(" ") + s" sep$i"
+    }.mkString(" ")
+    val out = run(Seq((1L, d1), (2L, d2)), span = 5)
+    val (n1, nSpans1, dup1, spans1, clean1) = out(1L)
+    assert((n1, nSpans1, dup1) == ((nSpans * 6L, nSpans.toLong, nSpans * 5L)))
+    assert(spans1.take(9) == "1-5|7-11|")
+    assert(clean1 == (0 until nSpans).map(i => s"gap$i").mkString(" "))
+    val (_, _, _, _, clean2) = out(2L)
+    assert(clean2 == (0 until nSpans).map(i => s"sep$i").mkString(" "))
+  }
+
+  test("hot gram shared by most of the corpus still yields exact spans") {
+    // boilerplate header planted in 80% of docs — the skew class the
+    // groupBy(g) partial-aggregate + semi-join shape exists for; output
+    // must equal the per-doc expectation regardless of the gram's heat
+    val header = (1 to 7).map(i => s"lic$i").mkString(" ")
+    val docs = (0 until 50).map { i =>
+      val body = (1 to 6).map(j => s"u${i}_$j").mkString(" ")
+      if (i % 5 != 0) (i.toLong, s"$header $body") else (i.toLong, body)
+    }
+    val out = run(docs, span = 5)
+    assert(out.keySet == docs.filter(_._1 % 5 != 0).map(_._1).toSet)
+    out.foreach { case (_, (n, ns, dup, spans, clean)) =>
+      assert((n, ns, dup, spans) == ((13L, 1L, 7L, "1-7")))
+      assert(clean.startsWith("u") && clean.split(" ").length == 6)
+    }
+  }
+
   test("agrees with a brute-force reference on the testdata corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text")
