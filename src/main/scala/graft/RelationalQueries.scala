@@ -717,6 +717,16 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the inverse view a trainer actually reads: seq_id -> (doc_id,
+    // doc_token_start, n_tokens) — which document slices concatenate into
+    // each packed sequence. Map-only explode over the packing offsets
+    "q_pack_inverse" -> ((s, dir) => {
+      val packed = graft.ops.Packing.packSequences(
+        t(s, dir, "documents"), "doc_id", "text", seqLen = 2048)
+      graft.ops.Packing.packedSequenceView(packed, 2048)
+        .orderBy(col("seq_id"), col("doc_id"))
+    }),
+
     // training sequence prep: fixed 64-token windows at stride 48 (25%
     // overlap) — map-only posexplode; every token lands in >= 1 window
     "q_chunk_windows" -> ((s, dir) => {
@@ -1337,6 +1347,25 @@ object RelationalQueries {
         |  (("offset" + n_tokens - 1) // 2048 - "offset" // 2048 + 1)::BIGINT
         |    AS n_seqs
         |FROM o ORDER BY doc_id""".stripMargin,
+
+    // replays the packing window, then the per-(seq, doc) slice arithmetic
+    "q_pack_inverse" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS "offset"
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT s.seq_id::BIGINT AS seq_id, o.doc_id,
+        |  (greatest(o."offset", s.seq_id * 2048) - o."offset" + 1)::BIGINT
+        |    AS doc_token_start,
+        |  (least(o."offset" + o.n_tokens, (s.seq_id + 1) * 2048)
+        |    - greatest(o."offset", s.seq_id * 2048))::BIGINT AS n_tokens
+        |FROM o, unnest(generate_series("offset" // 2048,
+        |  ("offset" + n_tokens - 1) // 2048)) AS s(seq_id)
+        |ORDER BY seq_id, o.doc_id""".stripMargin,
 
     "q_chunk_windows" ->
       """WITH w AS (SELECT doc_id,

@@ -86,6 +86,59 @@ class CurationPropertySpec extends AnyFunSuite {
     assert(expect.exists(_._6 > 1), "a doc must straddle a sequence boundary")
   }
 
+  test("packed-sequence inverse view == brute force token assignment") {
+    val docsDF = spark.read.parquet(s"$dir/documents.parquet")
+    val packed = graft.ops.Packing.packSequences(docsDF, "doc_id", "text", 2048)
+    val got = graft.ops.Packing.packedSequenceView(packed, 2048)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    // brute force: walk the concatenated token stream one doc at a time and
+    // chop each doc's [o, o+n) global range at every 2048 boundary
+    var off = 0L
+    val expect = raw.sortBy(_._1).flatMap { case (id, t) =>
+      val n = t.trim.split("\\s+").length.toLong
+      val o = off; off += n
+      (o / 2048 to (o + n - 1) / 2048).map { s =>
+        val gs = math.max(o, s * 2048)
+        val ge = math.min(o + n, (s + 1) * 2048)
+        (s, id, gs - o + 1, ge - gs)
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(got == expect)
+    // every full interior sequence reassembles to exactly 2048 tokens, and
+    // doc-local slices tile the doc: sum of portions == doc token count
+    val bySeq = expect.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._4).sum }
+    val lastSeq = bySeq.keys.max
+    assert(bySeq.filter(_._1 < lastSeq).values.forall(_ == 2048L),
+      "interior sequences must pack to exactly 2048 tokens")
+    val byDoc = expect.groupBy(_._2).map { case (d, xs) => d -> xs.map(_._4).sum }
+    raw.foreach { case (id, t) =>
+      assert(byDoc(id) == t.trim.split("\\s+").length.toLong)
+    }
+    assert(expect.groupBy(_._1).exists(_._2.size > 1),
+      "a sequence must contain multiple docs for the gate to bite")
+  }
+
+  test("null text counts 0 tokens and contributes no inverse-view rows") {
+    val docs = Seq((1L, "a b c"), (2L, null), (3L, ""), (4L, "d e"))
+      .toDF("doc_id", "text")
+    val packed = graft.ops.Packing.packSequences(docs, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    // doc 2 (null) -> 0 tokens, keeps its offset slot, n_seqs pinned to 1;
+    // doc 3 ("") -> 1 token (split("") = [""]), the battery convention
+    assert(packed == Seq(
+      (1L, 3L, 0L, 0L, 0L, 1L),
+      (2L, 0L, 3L, 0L, 0L, 1L),
+      (3L, 1L, 3L, 0L, 0L, 1L),
+      (4L, 2L, 4L, 1L, 1L, 1L)))
+    val inv = graft.ops.Packing.packedSequenceView(
+      graft.ops.Packing.packSequences(docs, "doc_id", "text", 4), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(inv == Seq((0L, 1L, 1L, 3L), (0L, 3L, 1L, 1L), (1L, 4L, 1L, 2L)))
+  }
+
   test("lm quality == brute force (micro-nat quantization, outlier flag)") {
     val got = RelationalQueries.queries("q_lm_quality")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3)))
