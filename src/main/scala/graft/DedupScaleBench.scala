@@ -66,6 +66,43 @@ object DedupScaleBench {
       dir
     }
 
+    // funnel corpus: Curation.funnel's gates are tuned for the battery's
+    // `documents` table (English-stopword word salad, ~55 tokens/doc) — the
+    // first funnel-leg run fed it CODE text, the language gate killed 100%
+    // of rows at stage 10, and the leg measured an empty pipeline (0 shuffle
+    // bytes). This mirrors the documents shape deterministically (pure
+    // xxhash64 exprs of doc_id, no RNG state) with every gate biting:
+    // ~10% Spanish-scaffold docs (fail langid), token counts 30..80 (the
+    // <50 quality floor kills ~40%), ~4% share one FIXED 5-token prefix
+    // (one hot fingerprint key — exercises the funnel's own min-groupBy
+    // skew claim), and ~3% are body-identical near-dup copies of their
+    // predecessor with a different prefix (caught by MinHash, not exact).
+    var funnelDirCreated: Option[String] = None
+    lazy val funnelSrc = {
+      val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+        "value", "part", "hash", "merge", "batch", "window", "spark", "order",
+        "data", "column", "join", "small", "line", "customer", "query",
+        "filter", "sort", "stream", "group", "big", "the", "a", "of", "and", "to")
+      val vocabCol = array(vocab.map(lit): _*)
+      val bodySeed = when(pmod(col("id"), lit(37L)) === 5, col("id") - 1)
+        .otherwise(col("id"))
+      val nTok = (pmod(xxhash64(bodySeed, lit(1)), lit(51L)) + 30).cast("int")
+      val body = array_join(transform(sequence(lit(1), nTok),
+        j => element_at(vocabCol,
+          (pmod(xxhash64(bodySeed, j), lit(vocab.size.toLong)) + 1).cast("int"))), " ")
+      val text = concat(
+        when(pmod(col("id"), lit(10L)) === 0, lit("el la de y que "))
+          .otherwise(lit("")),
+        when(pmod(col("id"), lit(23L)) === 7, lit("the spark batch window data "))
+          .otherwise(lit("")),
+        body)
+      val dir = java.nio.file.Files.createTempDirectory(tmpRoot, "graftfunnel").toString
+      spark.range(nDocs).select(col("id").as("doc_id"), text.as("text"))
+        .write.mode("overwrite").parquet(dir)
+      funnelDirCreated = Some(dir)
+      dir
+    }
+
     val sm = StageMetrics.install(spark)
     case class Leg(name: String, rows: Long, sec: Double,
                    shufWriteMB: Double, shufReadMB: Double, spillMB: Double,
@@ -123,13 +160,15 @@ object DedupScaleBench {
           docs.filter(evalPred), "doc_id", "text", n = 8)
           .filter(col("contaminated")).count()
       }
-      case "funnel" => runLeg("curationFunnel") {
-        graft.ops.Curation.funnel(docs.limit(5000), "doc_id", "text").count()
-      } {
-        val stages = graft.ops.Curation.funnel(docs, "doc_id", "text").collect()
-        stages.foreach(r => System.err.println(s"[funnel] $r"))
-        stages.last.getLong(1) // near-dup-deduped survivors
-      }
+      case "funnel" =>
+        val fdocs = spark.read.parquet(funnelSrc)
+        runLeg("curationFunnel") {
+          graft.ops.Curation.funnel(fdocs.limit(5000), "doc_id", "text").count()
+        } {
+          val stages = graft.ops.Curation.funnel(fdocs, "doc_id", "text").collect()
+          stages.foreach(r => System.err.println(s"[funnel] $r"))
+          stages.last.getLong(1) // near-dup-deduped survivors
+        }
       case other => sys.error(s"unknown leg: $other")
     }
 
@@ -145,14 +184,19 @@ object DedupScaleBench {
          |
          |Legs: dedupCorpus = shingle(k=3) -> hash-once MinHash -> 8-band star
          |edges -> connected components -> anti-join survivors;
-         |substringSpans = span-gram(10) inverted index -> groupBy(g) min/max
-         |partial-agg -> semi-join marked positions -> gaps-and-islands merge;
+         |substringSpans = span-gram(10) inverted index -> sampled heavy-
+         |hitter routing (hot grams: exact mini-agg verdict + salted window
+         |partitions; cold: plain window min/max) in ONE corpus exchange ->
+         |gaps-and-islands merge;
          |substringSpansHotGram = the same over a corpus with a 16-token
          |boilerplate header in 25%% of docs (each header 10-gram occurs in
          |${nDocs / 4} docs) — straggler gate: task skew <= 2x on every heavy
          |stage; decontaminate = 8-gram overlap vs the ~0.1%% eval slice
          |(doc_id %% 997 == 0); curationFunnel = ops.Curation (langid ->
-         |quality -> exact dedup -> near-dup dedup, per-stage budgets).
+         |quality -> exact dedup -> near-dup dedup, per-stage budgets) over a
+         |documents-shaped text corpus where every gate bites (10%% non-en,
+         |30-80 tokens vs the 50 floor, 4%% one shared prefix fingerprint,
+         |3%% body-identical near-dup copies).
          |Task skew = max/median task duration of the worst stage with >= 8
          |tasks and median >= 200 ms. local[$cpus].
          |""".stripMargin
@@ -166,6 +210,7 @@ object DedupScaleBench {
     import scala.reflect.io.Directory
     new Directory(new java.io.File(src)).deleteRecursively()
     hotDirCreated.foreach(d => new Directory(new java.io.File(d)).deleteRecursively())
+    funnelDirCreated.foreach(d => new Directory(new java.io.File(d)).deleteRecursively())
     spark.stop()
   }
 }

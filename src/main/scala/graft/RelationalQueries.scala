@@ -17,6 +17,21 @@ object RelationalQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Shared input of the MinHash-dedup battery queries: the first 60
+    * documents PLUS 8 planted near-dup copies (ids +100, suffix-mutated,
+    * true Jaccard ≈ 0.93). The battery corpus has no real near-dups (max
+    * pairwise J = 0.022), so without planting the r=4 banding correctly
+    * finds NOTHING and the dedup gates go vacuous. Mirrored verbatim in the
+    * `docs` CTE of the q_minhash_lsh / q_dedup_clusters / q_dedup_corpus
+    * oracles.
+    */
+  private def plantNearDups(documents: DataFrame): DataFrame = {
+    val base = documents.filter(col("doc_id") < 60)
+    base.unionByName(base.filter(col("doc_id") < 8)
+      .withColumn("doc_id", col("doc_id") + 100)
+      .withColumn("text", concat(col("text"), lit(" planted near dup copy"))))
+  }
+
   /** (doc_id, term, tf) over the documents table — the shared first stage of
     * the corpus-statistics queries (TF-IDF, LM quality): lowercased
     * whitespace words, one (doc, term) count aggregate.
@@ -391,13 +406,19 @@ object RelationalQueries {
         .limit(100)
     }),
 
-    // MinHash + LSH banding: per-doc band signatures, then candidate pairs
+    // MinHash + LSH banding: per-doc band signatures, then candidate pairs.
+    // The battery slice has NO true near-dups (max pairwise Jaccard 0.022),
+    // so 8 planted suffix-mutated copies (J ≈ 0.93) make the gate bite; at
+    // r=4 rows/band the sub-threshold tail is ~8·J^4 (3e-7 here), so the
+    // expected candidate set is exactly the planted pairs — the r=1 shape
+    // this replaces emitted 7 FALSE-POSITIVE pairs from the J≤0.022
+    // population and q_dedup_corpus deleted 7 unrelated documents
     "q_minhash_lsh" -> ((s, dir) => {
       // banding via the shared plan-gated projection (ONE split + ONE md5;
       // a mid-pipeline size(sh)>0 filter would predicate-push the whole
       // shingle expression below the projections — see Dedup.bandedProjection)
       val docs = graft.ops.Dedup.bandedProjection(
-          t(s, dir, "documents").filter(col("doc_id") < 60)
+          plantNearDups(t(s, dir, "documents"))
             // a narrow filter must not collapse the heavy shingle+hash compute
             // onto one scan task — spread the surviving rows across the cores
             .repartition(s.sparkContext.defaultParallelism),
@@ -431,8 +452,8 @@ object RelationalQueries {
 
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = graft.ops.Dedup.bandedProjection(
-          t(s, dir, "documents").filter(col("doc_id") < 60)
-            // spread the 60 surviving heavy rows across cores (see q_minhash_lsh)
+          plantNearDups(t(s, dir, "documents"))
+            // spread the surviving heavy rows across cores (see q_minhash_lsh)
             .repartition(s.sparkContext.defaultParallelism),
           "doc_id", "text", 3, 8)
         .withColumnRenamed("_id", "doc_id")
@@ -453,7 +474,7 @@ object RelationalQueries {
     // kept, losers dropped (the composed training-data pipeline)
     "q_dedup_corpus" -> ((s, dir) => {
       graft.ops.Dedup.dedupCorpus(
-        t(s, dir, "documents").filter(col("doc_id") < 60)
+        plantNearDups(t(s, dir, "documents"))
           .repartition(s.sparkContext.defaultParallelism), "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
@@ -471,10 +492,18 @@ object RelationalQueries {
     // funnel is non-vacuous: ~9% fail strict language dominance, ~45% the
     // token floor, ~5% share a prefix fingerprint); the implementation
     // lives in ops.Curation so DedupScaleBench runs the SAME funnel at 1M
-    "q_pipeline_curation" -> ((s, dir) =>
-      graft.ops.Curation.funnel(
-        t(s, dir, "documents").filter(col("doc_id") < 2000),
-        "doc_id", "text")),
+    // input: first 2000 docs + 30 PREFIX-mutated near-dup copies (ids
+    // +5000, J ~= 0.9) — prefix, not suffix, so the planted copy has a
+    // different 5-token fingerprint and reaches the near-dup stage instead
+    // of dying in exact dedup; the battery corpus itself has no near-dups,
+    // so without planting stage 40 would be vacuous at r=4
+    "q_pipeline_curation" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      val input = base.unionByName(base.filter(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 5000)
+        .withColumn("text", concat(lit("planted near dup prefix "), col("text"))))
+      graft.ops.Curation.funnel(input, "doc_id", "text")
+    }),
 
     // F6 serialize_term: controlled-vocabulary id->label via broadcast map
     // (util.py:240-299, controlled_fields.py:15-782)
@@ -975,9 +1004,11 @@ object RelationalQueries {
         |ORDER BY jac DESC, a, b LIMIT 100""".stripMargin,
 
     "q_minhash_lsh" ->
-      """WITH w AS (SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
-        |    WHERE doc_id < 60),
+      """WITH docs AS (SELECT doc_id, text, lang, source FROM documents WHERE doc_id < 60
+        |  UNION ALL SELECT doc_id + 100, text || ' planted near dup copy',
+        |    lang, source FROM documents WHERE doc_id < 8),
+        |w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w FROM docs),
         |s AS (SELECT doc_id, list_distinct(
         |    CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END) AS sh FROM w),
@@ -987,9 +1018,12 @@ object RelationalQueries {
         |sigs AS (SELECT doc_id,
         |    unnest(generate_series(0, 7)) AS band,
         |    unnest(list_transform(generate_series(0, 7),
-        |      b -> list_min(list_transform(hs,
-        |        x -> (((2654435761 * (b + 1)) % 2147483647) * x
-        |              + ((2246822519 * (b + 1)) % 2147483647)) % 4294967311)))) AS sig
+        |      b -> list_sum(list_transform(generate_series(0, 3),
+        |        j -> (list_min(list_transform(hs,
+        |            x -> (((2654435761 * (b*4 + j + 1)) % 2147483647) * x
+        |                + ((2246822519 * (b*4 + j + 1)) % 2147483647)) % 4294967311))
+        |          * ([1000000007,1000000033,1000000087,1000000093])[j+1])
+        |          % 4294967311))::BIGINT % 4294967311)) AS sig
         |  FROM hs)
         |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared_bands
         |FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
@@ -1004,9 +1038,11 @@ object RelationalQueries {
 
     "q_dedup_corpus" ->
       """WITH RECURSIVE
+        |docs AS (SELECT doc_id, text, lang, source FROM documents WHERE doc_id < 60
+        |  UNION ALL SELECT doc_id + 100, text || ' planted near dup copy',
+        |    lang, source FROM documents WHERE doc_id < 8),
         |w AS (SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
-        |    WHERE doc_id < 60),
+        |    string_split_regex(lower(trim(text)), '\s+') AS w FROM docs),
         |s AS (SELECT doc_id, list_distinct(
         |    CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END) AS sh FROM w),
@@ -1016,9 +1052,12 @@ object RelationalQueries {
         |sigs AS (SELECT doc_id,
         |    unnest(generate_series(0, 7)) AS band,
         |    unnest(list_transform(generate_series(0, 7),
-        |      b -> list_min(list_transform(hs,
-        |        x -> (((2654435761 * (b + 1)) % 2147483647) * x
-        |              + ((2246822519 * (b + 1)) % 2147483647)) % 4294967311)))) AS sig
+        |      b -> list_sum(list_transform(generate_series(0, 3),
+        |        j -> (list_min(list_transform(hs,
+        |            x -> (((2654435761 * (b*4 + j + 1)) % 2147483647) * x
+        |                + ((2246822519 * (b*4 + j + 1)) % 2147483647)) % 4294967311))
+        |          * ([1000000007,1000000033,1000000087,1000000093])[j+1])
+        |          % 4294967311))::BIGINT % 4294967311)) AS sig
         |  FROM hs),
         |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
         |  FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
@@ -1029,9 +1068,8 @@ object RelationalQueries {
         |  UNION
         |  SELECT e.a AS node, reach.r FROM edges e JOIN reach ON e.b = reach.node),
         |comp AS (SELECT node, min(r) AS cluster_rep FROM reach GROUP BY node)
-        |SELECT doc_id, lang, source FROM documents
-        |WHERE doc_id < 60
-        |  AND doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster_rep)
+        |SELECT doc_id, lang, source FROM docs
+        |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster_rep)
         |ORDER BY doc_id""".stripMargin,
 
     // the composed funnel: every fragment is the proven port from its
@@ -1039,9 +1077,12 @@ object RelationalQueries {
     // q_dedup_corpus's minhash + recursive-CTE closure), chained
     "q_pipeline_curation" ->
       """WITH RECURSIVE
+        |fdocs AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000
+        |  UNION ALL SELECT doc_id + 5000, 'planted near dup prefix ' || text
+        |  FROM documents WHERE doc_id < 30),
         |raw AS (SELECT doc_id, text,
         |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
-        |  FROM documents WHERE doc_id < 2000),
+        |  FROM fdocs),
         |langd AS (SELECT * FROM raw WHERE
         |    len(list_intersect(string_split_regex(lower(text), '\s+'),
         |        ['the','a','of','and','to'])) >
@@ -1068,9 +1109,12 @@ object RelationalQueries {
         |sigs AS (SELECT doc_id,
         |    unnest(generate_series(0, 7)) AS band,
         |    unnest(list_transform(generate_series(0, 7),
-        |      b -> list_min(list_transform(hs,
-        |        x -> (((2654435761 * (b + 1)) % 2147483647) * x
-        |              + ((2246822519 * (b + 1)) % 2147483647)) % 4294967311)))) AS sig
+        |      b -> list_sum(list_transform(generate_series(0, 3),
+        |        j -> (list_min(list_transform(hs,
+        |            x -> (((2654435761 * (b*4 + j + 1)) % 2147483647) * x
+        |                + ((2246822519 * (b*4 + j + 1)) % 2147483647)) % 4294967311))
+        |          * ([1000000007,1000000033,1000000087,1000000093])[j+1])
+        |          % 4294967311))::BIGINT % 4294967311)) AS sig
         |  FROM hs),
         |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
         |  FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
@@ -1093,9 +1137,11 @@ object RelationalQueries {
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE
+        |docs AS (SELECT doc_id, text, lang, source FROM documents WHERE doc_id < 60
+        |  UNION ALL SELECT doc_id + 100, text || ' planted near dup copy',
+        |    lang, source FROM documents WHERE doc_id < 8),
         |w AS (SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
-        |    WHERE doc_id < 60),
+        |    string_split_regex(lower(trim(text)), '\s+') AS w FROM docs),
         |s AS (SELECT doc_id, list_distinct(
         |    CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END) AS sh FROM w),
@@ -1105,9 +1151,12 @@ object RelationalQueries {
         |sigs AS (SELECT doc_id,
         |    unnest(generate_series(0, 7)) AS band,
         |    unnest(list_transform(generate_series(0, 7),
-        |      b -> list_min(list_transform(hs,
-        |        x -> (((2654435761 * (b + 1)) % 2147483647) * x
-        |              + ((2246822519 * (b + 1)) % 2147483647)) % 4294967311)))) AS sig
+        |      b -> list_sum(list_transform(generate_series(0, 3),
+        |        j -> (list_min(list_transform(hs,
+        |            x -> (((2654435761 * (b*4 + j + 1)) % 2147483647) * x
+        |                + ((2246822519 * (b*4 + j + 1)) % 2147483647)) % 4294967311))
+        |          * ([1000000007,1000000033,1000000087,1000000093])[j+1])
+        |          % 4294967311))::BIGINT % 4294967311)) AS sig
         |  FROM hs),
         |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
         |  FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig

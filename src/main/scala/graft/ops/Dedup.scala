@@ -159,6 +159,34 @@ object Dedup {
   def minhashA(b: Int): Long = (2654435761L * (b + 1)) % 2147483647L
   def minhashC(b: Int): Long = (2246822519L * (b + 1)) % 2147483647L
 
+  /** Rows per band (r of the banded-LSH S-curve). r = 1 — the shape shipped
+    * through round 5 — makes a band collide with probability J (not J^r), so
+    * the effective similarity threshold was (1/b)^(1/1) ≈ 0.125 with a fat
+    * sub-threshold tail: on the battery corpus, whose maximum true pairwise
+    * Jaccard is 0.022, the banding emitted 7 false-positive candidate pairs
+    * and dedupCorpus DELETED 7 unrelated documents — and on a low-shingle-
+    * diversity corpus (DedupScaleBench funnel leg: 32-word vocabulary) the
+    * per-band minimum concentrates on the few globally-smallest-hashing
+    * shingles, buckets go corpus-sized, and connected components chained
+    * 51k docs into ONE cluster (1 survivor). The replay oracle was
+    * structurally blind to all of it. r = 4 at b = 8 puts the threshold at
+    * (1/8)^(1/4) ≈ 0.59 with catch probability 0.985 at J = 0.8 and ~8·J^4
+    * below threshold (3e-7 at J = 0.022) — the standard near-dup regime
+    * (cf. Lee et al.'s suffix/MinHash setups). Affine passes stay cheap:
+    * still ONE md5 per shingle, b·r transforms of the cached hash array.
+    */
+  val MinhashRows = 4
+
+  /** Per-row combine constants for folding a band's r minima into one LONG
+    * signature: sig = Σ_j (m_j · K_j mod P) mod P. Each product < 2^63
+    * (m < P ≈ 2^32, K < 2^31) and each term < P, so the arithmetic is exact
+    * in both engines (DuckDB BIGINT errors on overflow rather than
+    * wrapping — the formula is chosen to never overflow).
+    */
+  def minhashK(j: Int): Long = Seq(1000000007L, 1000000033L,
+    1000000087L, 1000000093L, 1000000097L, 1000000103L,
+    1000000123L, 1000000181L)(j % 8)
+
   /** 32-bit-per-shingle hash array: ONE md5 per shingle (top 8 hex chars),
     * reused by every band. 32 bits is enough at ANY corpus size: minhash
     * accuracy depends on collisions within one PAIR's shingle union (bounded
@@ -186,17 +214,24 @@ object Dedup {
   }
 
   /** MinHash signature bands over a pre-hashed shingle array: band b's
-    * signature is min over shingles of the affine (a_b·h + c_b) mod P —
-    * Broder-style universal hashing. One digest per shingle instead of one
-    * per (shingle, band): the hashing that dominates corpus-scale dedup CPU
-    * drops by the band count, and signatures join as LONGs, not 32-char
-    * md5 strings.
+    * signature folds `rows` independent minima — row j of band b is min over
+    * shingles of the affine (a_k·h + c_k) mod P with k = b·rows + j
+    * (Broder-style universal hashing), combined as Σ_j (m_j·K_j mod P) mod P
+    * so signatures still join as LONGs. A band matches iff all r minima
+    * match (mod a ~2^-32 combine collision) — the J^r S-curve (see
+    * [[MinhashRows]]). One digest per shingle regardless of b·r: the hashing
+    * that dominates corpus-scale dedup CPU is unaffected by the row count.
     */
-  def minhashBandsFromHashes(hs: Column, bands: Int): Column =
+  def minhashBandsFromHashes(hs: Column, bands: Int,
+                             rows: Int = MinhashRows): Column =
     array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        array_min(transform(hs,
-          x => (lit(minhashA(b)) * x + lit(minhashC(b))) % lit(MinhashP))).as("sig"))
+      val sig = (0 until rows).map { j =>
+        val k = b * rows + j
+        (array_min(transform(hs,
+          x => (lit(minhashA(k)) * x + lit(minhashC(k))) % lit(MinhashP)))
+          * lit(minhashK(j))) % lit(MinhashP)
+      }.reduce(_ + _) % lit(MinhashP)
+      struct(lit(b).as("band"), sig.as("sig"))
     }: _*)
 
   /** MinHash signature bands from raw shingles; equi-join on (band, sig)
@@ -204,8 +239,8 @@ object Dedup {
     * [[minhashHashes]] -> [[minhashBandsFromHashes]] in pipelines so the
     * digest pass stays a single projection.
     */
-  def minhashBands(sh: Column, bands: Int): Column =
-    minhashBandsFromHashes(minhashHashes(sh), bands)
+  def minhashBands(sh: Column, bands: Int, rows: Int = MinhashRows): Column =
+    minhashBandsFromHashes(minhashHashes(sh), bands, rows)
 
   /** End-to-end near-dup corpus deduplication — the composed pipeline a
     * training-data run actually executes: shingle -> MinHash bands -> LSH
@@ -244,12 +279,13 @@ object Dedup {
     * the digest twice. Gate: exactly ONE `split` and ONE `md5` in the plan.
     */
   private[graft] def bandedProjection(df: DataFrame, idCol: String, textCol: String,
-                                      shingleK: Int, bands: Int): DataFrame =
+                                      shingleK: Int, bands: Int,
+                                      rows: Int = MinhashRows): DataFrame =
     df
       .withColumn("_w", split(lower(trim(col(textCol))), "\\s+"))
       .withColumn("_sh", array_distinct(shingles(col("_w"), shingleK)))
       .withColumn("_hs", minhashHashesNative(df.sparkSession, col("_sh")))
-      .withColumn("_b", minhashBandsFromHashes(col("_hs"), bands))
+      .withColumn("_b", minhashBandsFromHashes(col("_hs"), bands, rows))
       .select(col(idCol).as("_id"), explode_outer(col("_b")).as("bs"))
       .select(col("_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       // shingle-less docs (fewer than shingleK words) are dropped HERE, not
@@ -264,12 +300,13 @@ object Dedup {
       .filter(col("sig").isNotNull)
 
   def minhashStarEdges(df: DataFrame, idCol: String, textCol: String,
-                       shingleK: Int = 3, bands: Int = 8): DataFrame = {
+                       shingleK: Int = 3, bands: Int = 8,
+                       rows: Int = MinhashRows): DataFrame = {
     // persist the banding (shingle + minhash is the expensive part, consumed
     // by BOTH the bucket-rep aggregate and the join-back side); the returned
     // edge list is materialized (small — near-dup edges only) so the banding
     // is released here, as in simhashPairs
-    val banded = bandedProjection(df, idCol, textCol, shingleK, bands)
+    val banded = bandedProjection(df, idCol, textCol, shingleK, bands, rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = banded.groupBy(col("band"), col("sig"))
       .agg(min(col("_id")).as("a"), count(lit(1)).as("_n"))
@@ -284,8 +321,9 @@ object Dedup {
   }
 
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
-                  shingleK: Int = 3, bands: Int = 8): DataFrame = {
-    val pairs = minhashStarEdges(df, idCol, textCol, shingleK, bands)
+                  shingleK: Int = 3, bands: Int = 8,
+                  rows: Int = MinhashRows): DataFrame = {
+    val pairs = minhashStarEdges(df, idCol, textCol, shingleK, bands, rows)
     val losers = connectedComponents(pairs)
       .filter(col("node") =!= col("label"))
       .select(col("node").as(idCol))

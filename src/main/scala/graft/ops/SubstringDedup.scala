@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-document duplicated-substring spans — the exact-substring dedup
@@ -20,21 +21,26 @@ import org.apache.spark.sql.functions._
   *     [[Dedup.tokenHash64]]: engine-portable, and at 10^10 grams the
   *     birthday expectation is a handful of collisions — each worth one
   *     falsely-marked span, never a lost one);
-  *  3. the gram stream is PERSISTED (tokenize+digest runs once — the
-  *     unpersisted round-5 shape recomputed it per consumer), duplicated
-  *     grams come from a map-side-combinable groupBy(g) min/max(doc_id)
-  *     (a hot gram collapses to one partial row per map partition — no
-  *     single task ever owns all of a boilerplate gram's occurrences),
-  *     and marked positions are the stream SEMI-JOINED back on the 8-byte
-  *     key. The round-5 window form (min/max over Window.partitionBy(g))
-  *     shuffled once but forced EVERY occurrence of a gram into one task's
-  *     sort group: a license-header 10-gram present in 10^8 docs became a
-  *     single straggler task. Here the aggregate side is skew-proof by
-  *     partial aggregation and the probe side is an equi-join AQE can
-  *     skew-split (OptimizeSkewedJoin handles left-semi), so the worst key
-  *     costs parallel work, not one task. DedupScaleBench's `hotspans` leg
-  *     (a boilerplate span planted in >= 20% of 1M docs) gates max/median
-  *     task duration on the heavy stages;
+  *  3. dup marking in ONE corpus-sized exchange, skew-proof by SAMPLED
+  *     HEAVY-HITTER ROUTING. "g occurs in 2+ docs" is min(doc) != max(doc)
+  *     over a window partitioned by g — one shuffle+sort, but a boilerplate
+  *     gram present in 10^8 docs would make one task sort that whole group
+  *     (the round-5 straggler; the round-6 groupBy+semi-join attempt fixed
+  *     the skew but REGRESSED 4x: a hash aggregate over mostly-unique gram
+  *     keys spills its whole input on both sides, and the semi-join
+  *     re-exchanged + re-sorted the corpus stream — 475 s / 79 GB spill vs
+  *     the window's 117 s / 15 GB at 1M docs). So: a cheap 1% DOC sample
+  *     counts gram occurrences and nominates heavy hitters (bounded by
+  *     construction: <= sampleRows/minSampled, capped); hot grams get their
+  *     dup verdict from a tiny exact aggregate (partial agg collapses
+  *     perfectly on few distinct keys) and their window partition is SALTED
+  *     256 ways so no task owns the group, while the cold stream — per-key
+  *     cardinality bounded at ~the sampling threshold whp — takes the plain
+  *     window. EXACTNESS NEVER DEPENDS ON THE SAMPLE: a missed heavy hitter
+  *     only costs one large-ish sort group (skew, not wrongness), a false
+  *     positive only routes through the exact aggregate. DedupScaleBench's
+  *     `hotspans` leg (a boilerplate span planted in 25% of 1M docs) gates
+  *     max/median task duration on the heavy stages;
   *  4. per-doc sort + run-merge of marked positions into maximal spans —
   *     collect_list bounded by the doc's own length; span reconstruction
   *     and the clean-text cut are both LINEAR two-pointer passes over the
@@ -44,9 +50,29 @@ import org.apache.spark.sql.functions._
   *
   * Self-repetition WITHIN a doc is deliberately out of scope here (that is
   * the Gopher repetition signal, `q_quality_repetition`); a gram must occur
-  * in two distinct documents to mark its positions.
+  * in two distinct documents to mark its positions. (A within-doc-repeated
+  * gram CAN be nominated hot by the sample — the exact aggregate then
+  * correctly rules it non-duplicated unless a second doc holds it.)
   */
 object SubstringDedup {
+
+  /** Doc-sample fraction for heavy-hitter nomination. */
+  private val HotSampleFraction = 0.01
+
+  /** Min sampled occurrences to nominate a gram as hot: at 1% doc sampling
+    * this catches grams in >= ~3000 docs whp — far below straggler size,
+    * far above a window group that matters.
+    */
+  private val HotMinSampled = 32L
+
+  /** Driver-set cap on nominated hot grams (top by sampled count). The
+    * Zipf head IS the straggler class; anything past the cap is at most
+    * ~the cap-th frequency and sorts as an ordinary window group.
+    */
+  private val HotCap = 1 << 16
+
+  /** Salt fan-out for hot grams' window partitions. */
+  private val HotSalt = 256
 
   /** Per-document maximal cross-document duplicated spans of `span`+ tokens.
     *
@@ -55,33 +81,74 @@ object SubstringDedup {
     * inclusive token positions, clean_text = the document with every
     * duplicated span removed — the Lee et al. cut operation).
     *
-    * Eager at the marked-positions step: the gram stream is cached for its
-    * two consumers (dup-gram aggregate, semi-join probe) and released once
-    * the per-doc marked positions — doc-count-sized — are materialized via
-    * localCheckpoint, so the returned frame holds no reference to the
-    * corpus-sized gram cache.
+    * Eager at the marked-positions step: when hot grams exist the gram
+    * stream is cached for its two consumers (hot-dup aggregate, salted
+    * window) and released once the per-doc marked positions — doc-count-
+    * sized — are materialized via localCheckpoint, so the returned frame
+    * holds no reference to the corpus-sized gram cache. With no hot grams
+    * the whole marking is one unpersisted pipeline (sample pass aside).
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       span: Int): DataFrame = {
+    val spark = docs.sparkSession
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
       split(trim(col(textCol)), "\\s+").as("w"))
-    val grams = toks.filter(size(col("w")) >= span)
+
+    def gramStream(t: DataFrame): DataFrame = t
+      .filter(size(col("w")) >= span)
       .select(col("doc_id"), posexplode(Dedup.shingles(col("w"), span)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"),
-        Dedup.tokenHash64Native(docs.sparkSession, col("col")).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // "appears in 2+ docs" as a map-side-combinable aggregate: min/max are
-    // algebraic, so a hot gram contributes ONE partial row per map
-    // partition and the post-aggregate exchange carries ~distinct-gram
-    // rows of (8 B key, 2 longs) — never a straggler sort group
-    val dup = grams.groupBy("g")
-      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-      .filter(col("mn") =!= col("mx"))
-      .select("g")
-    val marked = grams.join(dup, Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("ps"))
-      .localCheckpoint()
-    grams.unpersist()
+        Dedup.tokenHash64Native(spark, col("col")).as("g"))
+
+    // 1. heavy-hitter nomination from a 1% doc sample: tokenize/hash cost is
+    //    1% of the corpus; collect is bounded (<= sample/HotMinSampled rows,
+    //    capped at HotCap). Routing-only — exactness never depends on it.
+    val hotCand: Array[Long] = gramStream(toks.sample(HotSampleFraction, 42L))
+      .groupBy("g").count()
+      .filter(col("count") >= HotMinSampled)
+      .orderBy(desc("count")).limit(HotCap)
+      .select("g").collect().map(_.getLong(0))
+
+    val grams = gramStream(toks)
+    val marked =
+      if (hotCand.isEmpty) {
+        // no heavy hitters: the single-exchange window pipeline, unpersisted
+        val w = Window.partitionBy("g")
+        grams
+          .withColumn("mn", min("doc_id").over(w))
+          .withColumn("mx", max("doc_id").over(w))
+          .filter(col("mn") =!= col("mx"))
+          .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("ps"))
+          .localCheckpoint()
+      } else {
+        val cached = grams
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // 2. exact dup verdict for the hot grams only: few distinct keys, so
+        //    map-side min/max partials collapse to <= |hot| rows/partition —
+        //    the one shape where a groupBy aggregate is skew-AND-spill-proof
+        val hotDup: Array[Long] = cached
+          .filter(col("g").isInCollection(hotCand))
+          .groupBy("g").agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+          .filter(col("mn") =!= col("mx"))
+          .select("g").collect().map(_.getLong(0))
+        // 3. ONE exchange of the full stream: hot grams' window partitions
+        //    salted HotSalt ways (their min/max is ignored — the verdict
+        //    comes from hotDup), cold grams keep salt 0 (exact window min/max)
+        val isHot = col("g").isInCollection(hotCand)
+        val w = Window.partitionBy(col("g"), col("ws"))
+        val m = cached
+          .withColumn("ws", when(isHot,
+            pmod(hash(col("doc_id"), col("pos")), lit(HotSalt))).otherwise(lit(0)))
+          .withColumn("mn", min("doc_id").over(w))
+          .withColumn("mx", max("doc_id").over(w))
+          .filter(when(isHot,
+            if (hotDup.isEmpty) lit(false) else col("g").isInCollection(hotDup))
+            .otherwise(col("mn") =!= col("mx")))
+          .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("ps"))
+          .localCheckpoint()
+        cached.unpersist()
+        m
+      }
 
     // gaps-and-islands over the sorted marked positions, at COVERAGE
     // granularity: position p covers tokens [p, p+span-1], so positions p
