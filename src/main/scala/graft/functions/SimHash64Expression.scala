@@ -36,11 +36,16 @@ case class SimHash64(child: Expression, maxTokens: Int = 128)
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 
+  // per-thread digest (see Hash64.md — same concurrent-eval hazard class)
+  @transient private lazy val mdTL =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = math.min(arr.numElements(), maxTokens)
     val votes = new Array[Int](64)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdTL.get()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
@@ -87,14 +92,20 @@ case class Hash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Hash64 =
     copy(child = newChild)
 
-  // one digest per deserialized expression copy (tasks own their tree, so
-  // eval is single-threaded per instance) — getInstance per VALUE was a
-  // provider lookup per gram
-  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  // one digest per THREAD, not per instance: tasks normally deserialize
+  // their own tree, but a plan evaluated driver-side (e.g. a Dataset shared
+  // across caller threads, ConvertToLocalRelation) can hit one instance
+  // concurrently — a shared MessageDigest then interleaves reset()/digest()
+  // and silently corrupts hashes (ADVICE r5). ThreadLocal keeps the
+  // provider lookup off the per-value path either way.
+  @transient private lazy val md =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   override protected def nullSafeEval(input: Any): Any = {
-    md.reset()
-    val d = md.digest(
+    val m = md.get()
+    m.reset()
+    val d = m.digest(
       input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
     var h = 0L
     var b = 0

@@ -90,7 +90,16 @@ object StreamingIngest {
     if (deltas.size <= maxDeltas) None
     else {
       def batchId(d: String) = d.split("/").last.stripPrefix("delta-")
-      val target = s"$outDir/compact-${batchId(deltas.head)}-${batchId(deltas.last)}"
+      // base inclusion is part of the target IDENTITY (ADVICE r5): keyed on
+      // the delta range alone, a re-entry with a DIFFERENT `base` argument
+      // would return a committed segment whose contents don't match what
+      // the caller asked to fold — the reader-swap contract above depends
+      // on knowing whether base was merged. "base-" + dir name (not full
+      // path) keeps the target stable across path spellings of one dir.
+      val baseTag = base.map(b => s"base-${new java.io.File(b).getName}-")
+        .getOrElse("")
+      val target =
+        s"$outDir/compact-$baseTag${batchId(deltas.head)}-${batchId(deltas.last)}"
       if (new Snapshot(target).currentId >= 0) Some(target)
       else {
         graft.index.IndexOps.mergeSegments(spark, base.toSeq ++ deltas, target, cfg)

@@ -73,6 +73,21 @@ class StreamingSpec extends AnyFunSuite {
       assert(s.map(_._2) == m, s"[$q] score sequence")
     }
     multi.close()
+
+    // base inclusion is part of the compacted target's IDENTITY (ADVICE r5):
+    // folding the same delta range WITH a base must not alias the baseless
+    // target a reader may have swapped to, and re-entry with the same base
+    // returns the same committed path
+    val withBase = StreamingIngest.maintainDeltas(spark, out,
+      base = Some(compacted.get), cfg = cfg, maxDeltas = 2)
+    assert(withBase.nonEmpty && withBase != compacted,
+      "base-folding target must differ from the baseless one")
+    assert(withBase.get.contains("base-compact-0-2"))
+    assert(StreamingIngest.maintainDeltas(spark, out,
+      base = Some(compacted.get), cfg = cfg, maxDeltas = 2) == withBase)
+    // the base-folded segment holds base + deltas (deltas re-folded: 300
+    // docs from compact-0-2 plus the same 300 delta docs = 600 rows)
+    assert(spark.read.parquet(s"${withBase.get}/docstats").count() == 600)
   }
 
   test("error budget aborts the stream (importer.py:323-329 analog)") {
