@@ -49,17 +49,36 @@ object Codec {
   }
 
   def decodeDocIds(bytes: Array[Byte], n: Int): Array[Long] = {
-    val buf = ByteBuffer.wrap(bytes)
     val out = new Array[Long](n)
+    decodeDocIdsInto(bytes, n, out)
+    out
+  }
+
+  /** [[decodeDocIds]] into a caller-owned buffer (>= n), raw index-based
+    * varint reads — no ByteBuffer or output array allocated per block. The
+    * posting kernel decodes millions of blocks per query batch; at 32
+    * threads the decode loop sits on the memory-bandwidth ceiling
+    * (QueryScalingBench round 5), so the two fresh arrays + ByteBuffer per
+    * block were measurable allocation traffic on the hottest path.
+    */
+  def decodeDocIdsInto(bytes: Array[Byte], n: Int, out: Array[Long]): Unit = {
+    var p = 0
     var prev = 0L
     var i = 0
     while (i < n) {
-      val v = readVarLong(buf)
+      var shift = 0
+      var v = 0L
+      var b = bytes(p); p += 1
+      while ((b & 0x80) != 0) {
+        v |= (b & 0x7FL) << shift
+        shift += 7
+        b = bytes(p); p += 1
+      }
+      v |= (b & 0x7FL) << shift
       prev = if (i == 0) v else prev + v
       out(i) = prev
       i += 1
     }
-    out
   }
 
   /** Encode term frequencies (>=1) as varints. */
@@ -74,13 +93,29 @@ object Codec {
   }
 
   def decodeTfs(bytes: Array[Byte], n: Int): Array[Int] = {
-    val buf = ByteBuffer.wrap(bytes)
     val out = new Array[Int](n)
+    decodeTfsInto(bytes, n, out)
+    out
+  }
+
+  /** [[decodeTfs]] into a caller-owned buffer (>= n) — see
+    * [[decodeDocIdsInto]] for why.
+    */
+  def decodeTfsInto(bytes: Array[Byte], n: Int, out: Array[Int]): Unit = {
+    var p = 0
     var i = 0
     while (i < n) {
-      out(i) = readVarLong(buf).toInt
+      var shift = 0
+      var v = 0L
+      var b = bytes(p); p += 1
+      while ((b & 0x80) != 0) {
+        v |= (b & 0x7FL) << shift
+        shift += 7
+        b = bytes(p); p += 1
+      }
+      v |= (b & 0x7FL) << shift
+      out(i) = v.toInt
       i += 1
     }
-    out
   }
 }

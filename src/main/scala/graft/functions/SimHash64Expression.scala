@@ -114,7 +114,87 @@ case class Hash64(child: Expression)
   }
 }
 
+/** Native one-pass MinHash band signatures over a pre-hashed shingle array:
+  * ONE traversal computes all bands·rows affine minima and folds each band's
+  * r minima into its LONG signature — bit-identical to the builtins form
+  * ([[graft.ops.Dedup.minhashBandsFromHashes]]: bands·rows separate
+  * `array_min(transform(...))` interpreted-HOF passes, each allocating an
+  * intermediate array; at r=4 that stage was 2,386 CPU-s of the 1M-doc
+  * dedupCorpus leg). Constants duplicate Dedup's three one-line formulas;
+  * OpsSpec gates element-wise identity against the builtins form, the same
+  * discipline as graft_hash64 / the DuckDB oracle mirrors.
+  *
+  * Returns array<long> of `bands` signatures; NULL for an empty (or
+  * all-null) hash array, matching array_min-of-empty = null so
+  * bandedProjection's `sig IS NULL` shingle-less-doc filter behaves
+  * identically on both paths.
+  */
+case class MinHashSigs(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sigs expects array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sigs"
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+
+  private val P = 4294967311L // == Dedup.MinhashP
+  @transient private lazy val affA =
+    Array.tabulate(bands * rows)(k => (2654435761L * (k + 1)) % 2147483647L)
+  @transient private lazy val affC =
+    Array.tabulate(bands * rows)(k => (2246822519L * (k + 1)) % 2147483647L)
+  @transient private lazy val combK = {
+    val ks = Array(1000000007L, 1000000033L, 1000000087L, 1000000093L,
+      1000000097L, 1000000103L, 1000000123L, 1000000181L)
+    Array.tabulate(rows)(j => ks(j % 8))
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val nh = bands * rows
+    val mins = new Array[Long](nh)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var seen = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        seen += 1
+        val h = arr.getLong(i)
+        var k = 0
+        while (k < nh) {
+          val v = (affA(k) * h + affC(k)) % P
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    if (seen == 0) return null
+    val sigs = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var s = 0L
+      var j = 0
+      while (j < rows) { s += (mins(b * rows + j) * combK(j)) % P; j += 1 }
+      sigs(b) = s % P
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+}
+
 object GraftFunctions {
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"graft_minhash_sigs $what must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
   private val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("graft_simhash64"),
@@ -122,7 +202,11 @@ object GraftFunctions {
         (exprs: Seq[Expression]) => SimHash64(exprs.head)),
       (FunctionIdentifier("graft_hash64"),
         new ExpressionInfo(classOf[Hash64].getName, "graft_hash64"),
-        (exprs: Seq[Expression]) => Hash64(exprs.head)))
+        (exprs: Seq[Expression]) => Hash64(exprs.head)),
+      (FunctionIdentifier("graft_minhash_sigs"),
+        new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash_sigs"),
+        (exprs: Seq[Expression]) => MinHashSigs(exprs.head,
+          litInt(exprs(1), "bands"), litInt(exprs(2), "rows"))))
 
   /** Register graft's native expressions on a session (idempotent); after
     * this, `call_function("graft_simhash64", col)` / SQL resolve to the

@@ -285,9 +285,15 @@ object Dedup {
       .withColumn("_w", split(lower(trim(col(textCol))), "\\s+"))
       .withColumn("_sh", array_distinct(shingles(col("_w"), shingleK)))
       .withColumn("_hs", minhashHashesNative(df.sparkSession, col("_sh")))
-      .withColumn("_b", minhashBandsFromHashes(col("_hs"), bands, rows))
-      .select(col(idCol).as("_id"), explode_outer(col("_b")).as("bs"))
-      .select(col("_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      // all bands·rows affine minima in ONE native pass over the hash array
+      // (graft_minhash_sigs — bit-identical to minhashBandsFromHashes,
+      // OpsSpec-gated): the builtins form is bands·rows interpreted
+      // array_min(transform(...)) passes, 2.4k CPU-s of the 1M-doc leg at
+      // r=4. NULL for shingle-less docs, like array_min of an empty array,
+      // so the `sig IS NULL` drop below is path-independent.
+      .withColumn("_sigs", call_function("graft_minhash_sigs",
+        col("_hs"), lit(bands), lit(rows)))
+      .select(col(idCol).as("_id"), posexplode_outer(col("_sigs")).as(Seq("band", "sig")))
       // shingle-less docs (fewer than shingleK words) are dropped HERE, not
       // via a size(_sh) > 0 filter between the projections: a mid-pipeline
       // filter gets predicate-pushed below the _w/_sh projects with the

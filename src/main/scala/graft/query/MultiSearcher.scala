@@ -196,28 +196,75 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
         return raced
       }
       try {
-        // persist BEFORE the count: the count job doubles as cache
-        // materialization; small sets collect from the cache and release it
-        val docs = graft.index.QueryFilter
-          .matchingDocs(querySession, seg.dir, fqs).select($"docId")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val n = docs.count()
+        // composite key = multi-fq conjunction (see Searcher.resolveFq):
+        // components resolve/cache per (segment, component), the
+        // intersection caches under the (segment, composite) key
         val set =
-          if (n <= FqMaxBroadcast) {
-            val arr = docs.as[Long].collect()
-            java.util.Arrays.sort(arr)
-            docs.unpersist()
-            FqSet(n, Some(track(spark.sparkContext.broadcast(arr))), None)
-          } else {
-            livePersists.add(docs)
-            FqSet(n, None, Some(docs))
-          }
+          if (fqs.contains(Searcher.FqAndSep))
+            combineFq(fqs.split(java.util.regex.Pattern.quote(Searcher.FqAndSep))
+              .toSeq.map(f => resolveFq(seg, f)))
+          else resolveSingleFq(seg, fqs)
         fqCache.synchronized(fqCache.put(key, set))
         fut.complete(set)
         set
       } catch {
         case t: Throwable => fut.completeExceptionally(t); throw t
       } finally fqInFlight.remove(key, fut)
+    }
+  }
+
+  private def resolveSingleFq(seg: Segment, fqs: String): FqSet = {
+    // persist BEFORE the count: the count job doubles as cache
+    // materialization; small sets collect from the cache and release it
+    val docs = graft.index.QueryFilter
+      .matchingDocs(querySession, seg.dir, fqs).select($"docId")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = docs.count()
+    if (n <= FqMaxBroadcast) {
+      val arr = docs.as[Long].collect()
+      java.util.Arrays.sort(arr)
+      docs.unpersist()
+      FqSet(n, Some(track(spark.sparkContext.broadcast(arr))), None)
+    } else {
+      livePersists.add(docs)
+      FqSet(n, None, Some(docs))
+    }
+  }
+
+  /** Multi-fq intersection per segment — same regime algebra as
+    * [[Searcher]]'s combineFq: broadcastable whenever any component is,
+    * semi-join chain (nothing driver-materialized) when all are big.
+    */
+  private def combineFq(sets: Seq[FqSet]): FqSet = {
+    if (sets.exists(_.count == 0))
+      return FqSet(0,
+        Some(track(spark.sparkContext.broadcast(Array.emptyLongArray))), None)
+    val smalls = sets.flatMap(_.sorted).map(_.value)
+    val bigs = sets.flatMap(_.docs)
+    if (bigs.isEmpty) {
+      val arr = smalls.reduce(Searcher.intersectSorted)
+      FqSet(arr.length, Some(track(spark.sparkContext.broadcast(arr))), None)
+    } else if (smalls.nonEmpty) {
+      val seed = smalls.reduce(Searcher.intersectSorted)
+      var df = spark.createDataset(seed).toDF("docId")
+      bigs.foreach(b => df = df.join(b, Seq("docId"), "left_semi"))
+      val out = df.as[Long].collect()
+      java.util.Arrays.sort(out)
+      FqSet(out.length, Some(track(spark.sparkContext.broadcast(out))), None)
+    } else {
+      var df = bigs.head
+      bigs.tail.foreach(b => df = df.join(b, Seq("docId"), "left_semi"))
+      val pdf = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = pdf.count()
+      if (n <= FqMaxBroadcast) {
+        val arr = pdf.as[Long].collect()
+        java.util.Arrays.sort(arr)
+        pdf.unpersist()
+        FqSet(n, Some(track(spark.sparkContext.broadcast(arr))), None)
+      } else {
+        livePersists.add(pdf)
+        FqSet(n, None, Some(pdf))
+      }
     }
   }
 
@@ -574,6 +621,26 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
       case ps => ps.reduce(_.unionByName(_)).orderBy(col("rank"))
     }
   }
+
+  // ---- multi-fq overloads (repeated fq params intersect) — see the
+  // Searcher analogs; the composite resolves per segment through the same
+  // (dir, fq) cache ----
+
+  def search(query: String, k: Int, fields: Seq[String],
+             fqs: Seq[String]): Array[Hit] =
+    search(query, k, fields, Searcher.combineFqParams(fqs))
+
+  def searchMany(queries: Seq[String], k: Int, fields: Seq[String],
+                 fqs: Seq[String]): Seq[Array[Hit]] =
+    searchMany(queries, k, fields, Searcher.combineFqParams(fqs))
+
+  def searchManyDistributed(queries: Seq[String], k: Int, fields: Seq[String],
+                            fqs: Seq[String]): Seq[Array[Hit]] =
+    searchManyDistributed(queries, k, fields, Searcher.combineFqParams(fqs))
+
+  def searchDF(query: String, k: Int, fields: Seq[String],
+               fqs: Seq[String]): org.apache.spark.sql.DataFrame =
+    searchDF(query, k, fields, Searcher.combineFqParams(fqs))
 }
 
 object MultiSearcher {

@@ -49,26 +49,48 @@ final class PostingIterator(runs: Array[PostingRun]) {
   private val blocks: Array[PostingBlock] = runs.sortBy(_.salt).flatMap(_.blocks)
   private var bi = 0 // current block
   private var i = 0 // position within decoded block
-  private var docs: Array[Long] = _
-  private var tfs: Array[Int] = _
+  private var len = 0 // postings in the current block
+  private var done = blocks.isEmpty
+  // REUSED decode buffers, sized once to the largest block: the kernel
+  // decodes millions of blocks per batch and the decode loop is memory-
+  // bandwidth-bound at full thread count (QueryScalingBench round 5) —
+  // two fresh arrays + a ByteBuffer per block was pure allocation traffic
+  // on the hottest path. tfs decode LAZILY per block: WAND's pivot skipping
+  // scans THROUGH many blocks by docId without ever reading a tf, so the
+  // tf varint pass is paid only by blocks that actually score.
+  private val maxN: Int = {
+    var m = 0; var k = 0
+    while (k < blocks.length) { if (blocks(k).n > m) m = blocks(k).n; k += 1 }
+    m
+  }
+  private val docs: Array[Long] = new Array[Long](maxN)
+  private val tfs: Array[Int] = new Array[Int](maxN)
+  private var tfsDecoded = false
   decodeCurrent()
 
   private def decodeCurrent(): Unit = {
     if (bi < blocks.length) {
       val b = blocks(bi)
-      docs = Codec.decodeDocIds(b.docsDelta, b.n)
-      tfs = Codec.decodeTfs(b.tfs, b.n)
+      Codec.decodeDocIdsInto(b.docsDelta, b.n, docs)
+      len = b.n
+      tfsDecoded = false
       i = 0
-    } else { docs = null; tfs = null }
+    } else { done = true; len = 0 }
   }
 
-  def exhausted: Boolean = docs == null
+  def exhausted: Boolean = done
   def curDoc: Long = docs(i)
-  def curTf: Int = tfs(i)
+  def curTf: Int = {
+    if (!tfsDecoded) {
+      Codec.decodeTfsInto(blocks(bi).tfs, len, tfs)
+      tfsDecoded = true
+    }
+    tfs(i)
+  }
 
   def advance(): Unit = {
     i += 1
-    if (i >= docs.length) { bi += 1; decodeCurrent() }
+    if (i >= len) { bi += 1; decodeCurrent() }
   }
 
   /** Skip to the first posting with docId >= target, hopping whole blocks via
@@ -87,8 +109,8 @@ final class PostingIterator(runs: Array[PostingRun]) {
       decodeCurrent()
       if (exhausted) return
     }
-    while (i < docs.length && docs(i) < target) i += 1
-    if (i >= docs.length) { bi += 1; decodeCurrent(); if (!exhausted) skipTo(target) }
+    while (i < len && docs(i) < target) i += 1
+    if (i >= len) { bi += 1; decodeCurrent(); if (!exhausted) skipTo(target) }
   }
 }
 
@@ -393,29 +415,80 @@ class Searcher(spark: SparkSession, indexDir: String) {
         return raced
       }
       try {
-        fqResolves.incrementAndGet()
-        // persist BEFORE the count so the count job doubles as cache
-        // materialization; small sets collect from the cache and release it
-        val docs = graft.index.QueryFilter
-          .matchingDocs(querySession, indexDir, fqs).select($"docId")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val n = docs.count()
+        // composite key (multi-fq conjunction): resolve each component
+        // through this same entry — each caches individually, Solr
+        // filterCache-style — then intersect; the combined set caches
+        // under the canonical composite key like any other fq
         val set =
-          if (n <= FqMaxBroadcast) {
-            val arr = docs.as[Long].collect()
-            java.util.Arrays.sort(arr)
-            docs.unpersist()
-            FqSet(n, Some(track(spark.sparkContext.broadcast(arr))), None)
-          } else {
-            livePersists.add(docs)
-            FqSet(n, None, Some(docs))
-          }
+          if (fqs.contains(Searcher.FqAndSep))
+            combineFq(fqs.split(java.util.regex.Pattern.quote(Searcher.FqAndSep))
+              .toSeq.map(resolveFq))
+          else resolveSingleFq(fqs)
         fqCache.synchronized(fqCache.put(fqs, set))
         fut.complete(set)
         set
       } catch {
         case t: Throwable => fut.completeExceptionally(t); throw t
       } finally fqInFlight.remove(fqs, fut)
+    }
+  }
+
+  private def resolveSingleFq(fqs: String): FqSet = {
+    fqResolves.incrementAndGet()
+    // persist BEFORE the count so the count job doubles as cache
+    // materialization; small sets collect from the cache and release it
+    val docs = graft.index.QueryFilter
+      .matchingDocs(querySession, indexDir, fqs).select($"docId")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = docs.count()
+    if (n <= FqMaxBroadcast) {
+      val arr = docs.as[Long].collect()
+      java.util.Arrays.sort(arr)
+      docs.unpersist()
+      FqSet(n, Some(track(spark.sparkContext.broadcast(arr))), None)
+    } else {
+      livePersists.add(docs)
+      FqSet(n, None, Some(docs))
+    }
+  }
+
+  /** Intersect component resolutions (multi-fq conjunction, Solr docset ∩
+    * docset). The result is broadcastable whenever ANY component is
+    * (|∩| <= the smallest component <= FqMaxBroadcast), so the mixed
+    * small+big case always lands in the sorted-array regime; the all-big
+    * case chains docId semi-joins — nothing driver-materialized — and
+    * routes by the combined count exactly like a single big fq.
+    */
+  private def combineFq(sets: Seq[FqSet]): FqSet = {
+    if (sets.exists(_.count == 0))
+      return FqSet(0,
+        Some(track(spark.sparkContext.broadcast(Array.emptyLongArray))), None)
+    val smalls = sets.flatMap(_.sorted).map(_.value)
+    val bigs = sets.flatMap(_.docs)
+    if (bigs.isEmpty) {
+      val arr = smalls.reduce(Searcher.intersectSorted)
+      FqSet(arr.length, Some(track(spark.sparkContext.broadcast(arr))), None)
+    } else if (smalls.nonEmpty) {
+      val seed = smalls.reduce(Searcher.intersectSorted)
+      var df = spark.createDataset(seed).toDF("docId")
+      bigs.foreach(b => df = df.join(b, Seq("docId"), "left_semi"))
+      val out = df.as[Long].collect()
+      java.util.Arrays.sort(out)
+      FqSet(out.length, Some(track(spark.sparkContext.broadcast(out))), None)
+    } else {
+      var df = bigs.head
+      bigs.tail.foreach(b => df = df.join(b, Seq("docId"), "left_semi"))
+      val pdf = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = pdf.count()
+      if (n <= FqMaxBroadcast) {
+        val arr = pdf.as[Long].collect()
+        java.util.Arrays.sort(arr)
+        pdf.unpersist()
+        FqSet(n, Some(track(spark.sparkContext.broadcast(arr))), None)
+      } else {
+        livePersists.add(pdf)
+        FqSet(n, None, Some(pdf))
+      }
     }
   }
 
@@ -657,9 +730,62 @@ class Searcher(spark: SparkSession, indexDir: String) {
       .orderBy($"rank")
       .select("rank", "docId", "score", "repo", "path", "commit", "lang", "sha")
   }
+
+  // ---- multi-fq overloads: repeated filter queries INTERSECT (Solr's
+  // repeated `fq` params — Blacklight sends visibility AND type filters
+  // together, solrconfig.xml:79-143 consumers). Components resolve and
+  // cache individually (filterCache semantics); the intersection caches
+  // under a canonical composite key (trimmed/deduped/sorted), so
+  // Seq(a, b) and Seq(b, a) share one entry. ----
+
+  def search(query: String, k: Int, fields: Seq[String],
+             fqs: Seq[String]): Array[Hit] =
+    search(query, k, fields, Searcher.combineFqParams(fqs))
+
+  def searchMany(queries: Seq[String], k: Int, fields: Seq[String],
+                 fqs: Seq[String]): Seq[Array[Hit]] =
+    searchMany(queries, k, fields, Searcher.combineFqParams(fqs))
+
+  def searchManyDistributed(queries: Seq[String], k: Int, fields: Seq[String],
+                            fqs: Seq[String]): Seq[Array[Hit]] =
+    searchManyDistributed(queries, k, fields, Searcher.combineFqParams(fqs))
+
+  def searchDF(query: String, k: Int, fields: Seq[String],
+               fqs: Seq[String]): DataFrame =
+    searchDF(query, k, fields, Searcher.combineFqParams(fqs))
 }
 
 object Searcher {
+  /** Separator of the canonical multi-fq composite key (Solr semantics:
+    * repeated `fq` params INTERSECT — Blacklight sends visibility AND type
+    * filters together). NUL-framed so no Q1-grammar filter string can
+    * contain it; components are trimmed/deduped/sorted first so
+    * `Seq(a, b)` and `Seq(b, a)` share one cache entry.
+    */
+  private[query] val FqAndSep = "\u0000&&\u0000"
+
+  /** Canonicalize repeated fq params into the composite form the
+    * resolve/cache layer understands (None when no non-empty filter).
+    */
+  def combineFqParams(fqs: Seq[String]): Option[String] = {
+    val norm = fqs.map(_.trim).filter(_.nonEmpty).distinct.sorted
+    if (norm.isEmpty) None else Some(norm.mkString(FqAndSep))
+  }
+
+  /** Two-pointer intersection of sorted docId arrays (the small-regime
+    * multi-fq combine — Solr's docset ∩ docset).
+    */
+  private[query] def intersectSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](math.min(a.length, b.length))
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { out(n) = a(i); n += 1; i += 1; j += 1 }
+    }
+    java.util.Arrays.copyOf(out, n)
+  }
+
   /** Sorted-array tombstone membership — STATIC so executor lambdas that
     * use it capture the (small) array, never the Searcher instance.
     */

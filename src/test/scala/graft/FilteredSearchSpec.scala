@@ -160,6 +160,59 @@ class FilteredSearchSpec extends AnyFunSuite {
     s.close(); dist.close()
   }
 
+  test("multi-fq conjunction == literal double post-filtering on every regime") {
+    val s = new Searcher(spark, tmp)
+    val pairs = Seq(
+      ("lang:scala OR lang:java", "NOT lang:md"),
+      ("lang:scala", "repo:repo-0003"),
+      ("NOT lang:md", "lang:c OR repo:repo-0001"))
+    for (q <- queries.take(2); (f1, f2) <- pairs) {
+      val ok = allowed(tmp, f1).intersect(allowed(tmp, f2))
+      val expect = reference(s, q, 10, ok)
+      assert(s.search(q, 10, s.DefaultFields, Seq(f1, f2)).toSeq == expect,
+        s"q='$q' fqs=[$f1, $f2]")
+      // canonical composite key: order must not matter
+      assert(s.search(q, 10, s.DefaultFields, Seq(f2, f1)).toSeq == expect,
+        s"order-independence q='$q'")
+    }
+    // MIXED regimes: a bound between the two counts routes one component
+    // to the sorted-array form and the other to the persisted semi-join
+    // form; ALL-BIG: both semi-join. Same bits either way.
+    val counts = Seq("repo:repo-0003", "NOT lang:md").map(f => allowed(tmp, f).size)
+    val mixed = new Searcher(spark, tmp)
+    mixed.FqMaxBroadcast = (counts.min + counts.max) / 2
+    val allBig = new Searcher(spark, tmp)
+    allBig.FqMaxBroadcast = 0
+    for (q <- queries.take(2)) {
+      val ok = allowed(tmp, "repo:repo-0003").intersect(allowed(tmp, "NOT lang:md"))
+      val expect = reference(s, q, 10, ok)
+      assert(mixed.search(q, 10, mixed.DefaultFields,
+        Seq("repo:repo-0003", "NOT lang:md")).toSeq == expect, s"mixed q='$q'")
+      assert(allBig.search(q, 10, allBig.DefaultFields,
+        Seq("repo:repo-0003", "NOT lang:md")).toSeq == expect, s"all-big q='$q'")
+    }
+    // component cache reuse: both components were already resolved above,
+    // so a NEW composite costs zero additional QueryFilter resolutions
+    val before = s.fqResolves.get()
+    s.search("buffer", 10, s.DefaultFields, Seq("lang:scala", "NOT lang:md"))
+    assert(s.fqResolves.get() == before, "composite must reuse cached components")
+    // empty component empties the conjunction
+    assert(s.search("buffer", 10, s.DefaultFields,
+      Seq("lang:scala", "repo:no-such-repo")).isEmpty)
+    // batch shapes honor the conjunction
+    val fseq = Seq("lang:scala", "NOT lang:md")
+    val perQ = queries.map(q => s.search(q, 10, s.DefaultFields, fseq).toSeq)
+    assert(s.searchMany(queries, 10, s.DefaultFields, fseq).map(_.toSeq) == perQ,
+      "searchMany multi-fq")
+    assert(s.searchManyDistributed(queries, 10, s.DefaultFields, fseq)
+      .map(_.toSeq) == perQ, "searchManyDistributed multi-fq")
+    // MultiSearcher plumbing (single segment: global == local ids)
+    val m = new MultiSearcher(spark, Seq(tmp))
+    assert(queries.take(2).map(q =>
+      m.search(q, 10, m.DefaultFields, fseq).toSeq) == perQ.take(2), "multi")
+    m.close(); s.close(); mixed.close(); allBig.close()
+  }
+
   test("multi-segment fq: per-segment evaluation equals the merged-index filter") {
     import spark.implicits._
     val segA = java.nio.file.Files.createTempDirectory("graftfqA").toString

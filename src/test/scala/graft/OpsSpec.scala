@@ -390,6 +390,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native one-pass minhash sigs == builtins bands, element for element") {
+    import org.apache.spark.sql.functions.{call_function, lit}
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq.empty[String]), // shingle-less: both paths must yield null sigs
+      (3L, Seq("café 中文", "x y", "x y"))).toDF("id", "sh")
+    graft.functions.GraftFunctions.register(spark)
+    val rows = df
+      .withColumn("hs", Dedup.minhashHashesNative(spark, $"sh"))
+      .select($"id",
+        Dedup.minhashBandsFromHashes($"hs", 8).as("ref"),
+        call_function("graft_minhash_sigs", $"hs", lit(8), lit(4)).as("got"))
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val ref = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(b => (b.getInt(0), if (b.isNullAt(1)) null else b.getLong(1)))
+      if (id == 2L) {
+        assert(r.isNullAt(2), "empty hash array must yield NULL sigs")
+        assert(ref.forall(_._2 == null), "builtins form agrees: null sigs")
+      } else {
+        val got = r.getSeq[Long](2).zipWithIndex.map { case (s, b) => (b, s) }
+        assert(ref.map(b => (b._1, b._2.asInstanceOf[Long])) == got, s"id $id")
+      }
+    }
+  }
+
   test("minhash bands: identical shingle sets share every band signature") {
     val df = Seq(
       (1L, Seq("a b c", "b c d", "c d e")),
