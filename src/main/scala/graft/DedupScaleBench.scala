@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * (span-gram inverted index, Lee et al. regime); `hotspans` — the SAME
   * operator over a corpus with a 16-token boilerplate license header planted
   * in 25% of docs (every one of its 10-grams occurs in 250k docs — the
-  * straggler class the round-6 groupBy+semi-join marking rewrite targets;
-  * the leg reports the worst max/median task-duration ratio, gate <= 2x);
+  * straggler class the sampled heavy-hitter routing in SubstringDedup
+  * targets; the leg reports the worst max/median task-duration ratio,
+  * gate <= 2x);
   * `decon` — benchmark decontamination (8-gram overlap vs a ~0.1% eval
   * slice); `funnel` — the composed curation funnel (ops.Curation: langid ->
   * quality -> exact dedup -> near-dup dedup with per-stage budgets). Each
@@ -172,6 +173,9 @@ object DedupScaleBench {
       case other => sys.error(s"unknown leg: $other")
     }
 
+    // NOTE: the table is interpolated OUTSIDE stripMargin (a row's leading
+    // '|' would be eaten as the margin character — the first committed run
+    // shipped a malformed table)
     val table = results.map { l =>
       f"| ${l.name} | ${l.rows} | ${l.sec}%.2f | ${nDocs / l.sec}%.0f | ${l.shufWriteMB}%.0f | ${l.shufReadMB}%.0f | ${l.spillMB}%.0f | ${l.taskSkew}%.2f (${l.skewStage}) |"
     }.mkString("\n")
@@ -180,7 +184,7 @@ object DedupScaleBench {
          |
          || leg | result rows | wall sec | docs/sec | shW MB | shR MB | spill MB | task skew max/med |
          ||---|---|---|---|---|---|---|---|
-         |$table%s
+         |TABLE_ROWS_PLACEHOLDER
          |
          |Legs: dedupCorpus = shingle(k=3) -> hash-once MinHash -> 8-band star
          |edges -> connected components -> anti-join survivors;
@@ -199,7 +203,7 @@ object DedupScaleBench {
          |3%% body-identical near-dup copies).
          |Task skew = max/median task duration of the worst stage with >= 8
          |tasks and median >= 200 ms. local[$cpus].
-         |""".stripMargin
+         |""".stripMargin.replace("TABLE_ROWS_PLACEHOLDER", table)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH/DEDUP_SCALE_LAST.md"), md)
