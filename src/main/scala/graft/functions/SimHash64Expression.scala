@@ -138,6 +138,10 @@ case class MinHashSigs(child: Expression, bands: Int, rows: Int)
       s"graft_minhash_sigs expects array<bigint>, got ${other.catalogString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // NULL on an empty/all-null hash array even when the child is non-null —
+  // without this override the inherited child.nullable=false would let the
+  // optimizer constant-fold a `sig IS NULL` shingle-less-doc filter away
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash_sigs"
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigs =

@@ -152,8 +152,9 @@ object Tombstones {
     // the bound every later commit dedupes again), i.e. <= 12.5% of the
     // routing threshold worst-case.
     val currentCount = props.get("tombstoneCount").map(_.toLong).getOrElse(0L)
+    val dedupSkipped = prev.isEmpty || currentCount < DedupSkipBound
     val df =
-      if (prev.isEmpty || currentCount < DedupSkipBound) df0
+      if (dedupSkipped) df0
       else df0.join(
         spark.read.parquet(prev.map(f => s"$indexDir/tombstones/$f.parquet"): _*)
           .select(col("docId")),
@@ -163,7 +164,9 @@ object Tombstones {
     // When both a count and a write run, persist so the caller's docIds
     // plan (e.g. a delete-by-query pushed-filter scan) and the prior-
     // tombstone anti-join execute ONCE, not once per job
-    val needCount = !(prev.isEmpty && knownCount >= 0)
+    // a caller-supplied count is valid whenever no anti-join ran (nothing
+    // was filtered out), not only on the first commit
+    val needCount = !(dedupSkipped && knownCount >= 0)
     val toWrite =
       if (needCount) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
