@@ -93,6 +93,15 @@ final class PostingIterator(runs: Array[PostingRun]) {
     if (i >= len) { bi += 1; decodeCurrent() }
   }
 
+  // current-block metadata for the BMW shallow bound (callers must check
+  // !exhausted): the block's (maxTf, minQuantLen) give an EXACT upper bound
+  // on any member doc's term score, and lastDoc bounds the docId span the
+  // block-level bound is valid for
+  def curBlockIndex: Int = bi
+  def curBlockLastDoc: Long = blocks(bi).lastDoc
+  def curBlockMaxTf: Int = blocks(bi).maxTf
+  def curBlockMinQuantLen: Int = blocks(bi).minQuantLen
+
   /** Skip to the first posting with docId >= target, hopping whole blocks via
     * lastDoc metadata (decodes only the landing block).
     */
@@ -984,7 +993,20 @@ object Kernel extends Serializable {
 
     // one posting iterator per (clause, field); duplicate (field, term) pairs
     // get independent iterators (Lucene scores duplicate clauses independently)
-    case class Leg(clauseIdx: Int, fi: Int, idf: Double, it: PostingIterator, ub: Double)
+    case class Leg(clauseIdx: Int, fi: Int, idf: Double, it: PostingIterator, ub: Double) {
+      // current block's upper bound, cached per block index (the shallow
+      // bound is consulted once per pivot round; blocks advance rarely)
+      private var ubBlockIdx = -1
+      private var ubBlock = 0.0
+      def blockUb(avg: Double): Double = {
+        val b = it.curBlockIndex
+        if (b != ubBlockIdx) {
+          ubBlockIdx = b
+          ubBlock = BM25.maxTermScore(idf, it.curBlockMaxTf, it.curBlockMinQuantLen, avg)
+        }
+        ubBlock
+      }
+    }
     val legs = mutable.ArrayBuffer.empty[Leg]
     var ci = 0
     while (ci < clauses.length) {
@@ -1040,7 +1062,45 @@ object Kernel extends Serializable {
       if (!(acc > theta)) done = true // even all remaining legs can't beat theta
       else {
         val pivotDoc = live(p - 1).it.curDoc
-        if (live(0).it.curDoc == pivotDoc) {
+        // ---- BMW shallow check (Ding & Suel): refine the term-level
+        // prefix bound with the CURRENT blocks' (maxTf, minQuantLen) upper
+        // bounds. For each leg that can contribute to pivotDoc (curDoc <=
+        // pivot): if its current block CONTAINS the pivot (lastDoc >=
+        // pivot) use the block's exact bound, else fall back to the term
+        // bound (the pivot would land in a later, unseen block). When even
+        // that sum can't beat theta, no doc in [pivotDoc, spanEnd] can
+        // enter the top-k, where spanEnd = min(contained blocks' lastDoc,
+        // next leg's curDoc - 1) — every block bound is valid through its
+        // lastDoc, term bounds are valid everywhere, and legs beyond
+        // nextLegDoc contribute nothing before it. Skip the WHOLE span
+        // without decoding a single tf. Score ties are safe for the same
+        // reason as the pivot terminator: a later doc with score == theta
+        // has a larger docId and loses the tie.
+        var bs = 0.0
+        var contained = Long.MaxValue // min lastDoc among pivot-containing blocks
+        var si = 0
+        while (si < live.length && live(si).it.curDoc <= pivotDoc) {
+          val leg = live(si)
+          if (leg.it.curBlockLastDoc >= pivotDoc) {
+            bs += leg.blockUb(avgArr(leg.fi))
+            if (leg.it.curBlockLastDoc < contained) contained = leg.it.curBlockLastDoc
+          } else bs += leg.ub
+          si += 1
+        }
+        if (contained != Long.MaxValue && !(bs > theta)) {
+          val nextLegDoc = if (si < live.length) live(si).it.curDoc else Long.MaxValue
+          val spanEnd =
+            if (nextLegDoc == Long.MaxValue) contained
+            else math.min(contained, nextLegDoc - 1)
+          // spanEnd >= pivotDoc (contained >= pivot by containment;
+          // nextLegDoc > pivot by the sort), so this always advances
+          val next = spanEnd + 1
+          var li = 0
+          while (li < live.length && live(li).it.curDoc < next) {
+            live(li).it.skipTo(next)
+            li += 1
+          }
+        } else if (live(0).it.curDoc == pivotDoc) {
           // all legs at pivotDoc are within live(0..p-1..); score fully
           var matched = 0
           var score = 0.0

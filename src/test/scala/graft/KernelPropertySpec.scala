@@ -170,6 +170,38 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(nonEmptyResults >= 150, s"only $nonEmptyResults non-empty result sets")
   }
 
+  test("BMW span skip: outlier doc right after a low-bound block boundary survives") {
+    // Deterministic off-by-one gate for the block-max shallow skip: term
+    // "alpha" has tf=1 in docs 0..63 (sixteen 4-posting blocks with
+    // identical low bounds) and tf=50 in doc 64 — the FIRST posting of a
+    // new block. Once the heap fills at k=3, theta exceeds every tf=1
+    // block's bound, so the kernel must skip whole spans — but the span
+    // must end at the block boundary (spanEnd+1 = 64), not swallow the
+    // outlier. A second outlier at the LAST posting of a later block (doc
+    // 99) guards the other edge.
+    val postings = (0L to 63L).map(d => d -> 1) ++ Seq(64L -> 50) ++
+      (65L to 98L).map(d => d -> 1) ++ Seq(99L -> 40)
+    def quantLenOf(fi: Int, d: Long): Int = SmallFloat.quantizeLength(100)
+    val blocks = mkBlocks(postings, blockSize = 4, quantLenOf, 0)
+    // block boundaries: doc 64 starts block 16; doc 99 ends block 24
+    assert(blocks(16).firstDoc == 64L && blocks(16).maxTf == 50)
+    assert(blocks.last.lastDoc == 99L)
+    val runs = Array(PostingRun(0, "content", "alpha", 0,
+      postings.length.toLong, postings.map(_._2.toLong).sum,
+      postings.map(_._2).max, blocks))
+    val clauses = Array(Clause("alpha", Map("content" -> "alpha")))
+    val idfMap = Map(("content", "alpha") -> BM25.idf(100L, postings.length.toLong))
+    val avgLen = Map("content" -> 100.0, "path" -> 100.0, "repo" -> 100.0)
+    val hits = Kernel.scoreSalt(runs, quantLenOf, clauses, fields, idfMap,
+      avgLen, minMatch = 1, k = 3).toSeq
+    val expect = naive(
+      Map(("content", "alpha") -> postings), clauses, idfMap, quantLenOf,
+      avgLen, minMatch = 1, k = 3, deleted = _ => false)
+    assert(hits == expect)
+    assert(hits.map(_.docId).take(2) == Seq(64L, 99L),
+      "both block-edge outliers must rank first")
+  }
+
   test("scoreBatch == per-plan scoreSalt on 100 random universes x random batches") {
     // the batched executor kernel (Searcher.scoreBatch) must be EXACTLY the
     // per-query kernel run plan-by-plan: same runs selected per plan (shared
