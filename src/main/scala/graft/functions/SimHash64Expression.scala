@@ -147,16 +147,10 @@ case class MinHashSigs(child: Expression, bands: Int, rows: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
     copy(child = newChild)
 
-  private val P = 4294967311L // == Dedup.MinhashP
-  @transient private lazy val affA =
-    Array.tabulate(bands * rows)(k => (2654435761L * (k + 1)) % 2147483647L)
-  @transient private lazy val affC =
-    Array.tabulate(bands * rows)(k => (2246822519L * (k + 1)) % 2147483647L)
-  @transient private lazy val combK = {
-    val ks = Array(1000000007L, 1000000033L, 1000000087L, 1000000093L,
-      1000000097L, 1000000103L, 1000000123L, 1000000181L)
-    Array.tabulate(rows)(j => ks(j % 8))
-  }
+  private val P = MinhashConsts.P
+  @transient private lazy val affA = MinhashConsts.affA(bands * rows)
+  @transient private lazy val affC = MinhashConsts.affC(bands * rows)
+  @transient private lazy val combK = MinhashConsts.combK(rows)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -195,7 +189,7 @@ case class MinHashSigs(child: Expression, bands: Int, rows: Int)
 
 object GraftFunctions {
   private def litInt(e: Expression, what: String): Int = {
-    require(e.foldable, s"graft_minhash_sigs $what must be a literal")
+    require(e.foldable, s"graft native function arg '$what' must be a literal")
     e.eval().asInstanceOf[Number].intValue()
   }
 
@@ -210,7 +204,14 @@ object GraftFunctions {
       (FunctionIdentifier("graft_minhash_sigs"),
         new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash_sigs"),
         (exprs: Seq[Expression]) => MinHashSigs(exprs.head,
-          litInt(exprs(1), "bands"), litInt(exprs(2), "rows"))))
+          litInt(exprs(1), "bands"), litInt(exprs(2), "rows"))),
+      (FunctionIdentifier("graft_shingle_hash64s"),
+        new ExpressionInfo(classOf[ShingleHash64s].getName, "graft_shingle_hash64s"),
+        (exprs: Seq[Expression]) => ShingleHash64s(exprs.head, litInt(exprs(1), "k"))),
+      (FunctionIdentifier("graft_shingle_sigs"),
+        new ExpressionInfo(classOf[ShingleSigs].getName, "graft_shingle_sigs"),
+        (exprs: Seq[Expression]) => ShingleSigs(exprs.head, litInt(exprs(1), "k"),
+          litInt(exprs(2), "bands"), litInt(exprs(3), "rows"))))
 
   /** Register graft's native expressions on a session (idempotent); after
     * this, `call_function("graft_simhash64", col)` / SQL resolve to the

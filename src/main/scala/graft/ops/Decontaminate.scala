@@ -34,13 +34,16 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  private def gramKeys(docs: DataFrame, idCol: String, textCol: String, n: Int) =
+  private def gramKeys(docs: DataFrame, idCol: String, textCol: String, n: Int) = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // fused shingle->hash64 (see SubstringDedup.gramStream): no gram string
+    // per position, one native pass, bit-identical values
     docs
       .select(col(idCol).cast("long").as("doc_id"),
         split(lower(trim(col(textCol))), "\\s+").as("w"))
-      .select(col("doc_id"), explode(Dedup.shingles(col("w"), n)).as("gram"))
       .select(col("doc_id"),
-        Dedup.tokenHash64Native(docs.sparkSession, col("gram")).as("g"))
+        explode(call_function("graft_shingle_hash64s", col("w"), lit(n))).as("g"))
+  }
 
   /** Annotate every `train` document with its n-gram overlap against `eval`:
     * (doc_id, n_grams, n_dirty_grams = distinct shared grams, first_eval_doc

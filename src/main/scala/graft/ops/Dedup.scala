@@ -281,19 +281,23 @@ object Dedup {
   private[graft] def bandedProjection(df: DataFrame, idCol: String, textCol: String,
                                       shingleK: Int, bands: Int,
                                       rows: Int = MinhashRows): DataFrame =
-    df
-      .withColumn("_w", split(lower(trim(col(textCol))), "\\s+"))
-      .withColumn("_sh", array_distinct(shingles(col("_w"), shingleK)))
-      .withColumn("_hs", minhashHashesNative(df.sparkSession, col("_sh")))
-      // all bands·rows affine minima in ONE native pass over the hash array
-      // (graft_minhash_sigs — bit-identical to minhashBandsFromHashes,
-      // OpsSpec-gated): the builtins form is bands·rows interpreted
-      // array_min(transform(...)) passes, 2.4k CPU-s of the 1M-doc leg at
-      // r=4. NULL for shingle-less docs, like array_min of an empty array,
-      // so the `sig IS NULL` drop below is path-independent.
-      .withColumn("_sigs", call_function("graft_minhash_sigs",
-        col("_hs"), lit(bands), lit(rows)))
-      .select(col(idCol).as("_id"), posexplode_outer(col("_sigs")).as(Seq("band", "sig")))
+    {
+      graft.functions.GraftFunctions.register(df.sparkSession)
+      df
+        .withColumn("_w", split(lower(trim(col(textCol))), "\\s+"))
+        // the WHOLE banding in one native pass (graft_shingle_sigs): digest
+        // each k-gram straight from the word byte arrays (no shingle
+        // strings, no array_distinct — duplicates cannot change a minimum,
+        // OpsSpec gates value identity with the builtins chain) and fold
+        // all bands·rows affine minima inline. The previous two-step
+        // native form still paid an interpreted concat_ws HOF eval + one
+        // string per gram position (the dominant CPU of the 1M-doc
+        // banding stage after the sigs pass went native). NULL for
+        // shingle-less docs, so the `sig IS NULL` drop is path-independent.
+        .withColumn("_sigs", call_function("graft_shingle_sigs",
+          col("_w"), lit(shingleK), lit(bands), lit(rows)))
+        .select(col(idCol).as("_id"), posexplode_outer(col("_sigs")).as(Seq("band", "sig")))
+    }
       // shingle-less docs (fewer than shingleK words) are dropped HERE, not
       // via a size(_sh) > 0 filter between the projections: a mid-pipeline
       // filter gets predicate-pushed below the _w/_sh projects with the

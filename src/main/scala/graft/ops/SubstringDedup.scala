@@ -94,11 +94,15 @@ object SubstringDedup {
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
       split(trim(col(textCol)), "\\s+").as("w"))
 
+    graft.functions.GraftFunctions.register(spark)
+    // fused shingle->hash64 (ONE native pass, no gram strings): element i of
+    // graft_shingle_hash64s == graft_hash64(concat_ws(" ", w[i..i+span-1])),
+    // OpsSpec-gated bit-identical to the two-step form this replaces
     def gramStream(t: DataFrame): DataFrame = t
       .filter(size(col("w")) >= span)
-      .select(col("doc_id"), posexplode(Dedup.shingles(col("w"), span)))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"),
-        Dedup.tokenHash64Native(spark, col("col")).as("g"))
+      .select(col("doc_id"),
+        posexplode(call_function("graft_shingle_hash64s", col("w"), lit(span))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
 
     // 1. heavy-hitter nomination from a 1% doc sample: tokenize/hash cost is
     //    1% of the corpus; collect is bounded (<= sample/HotMinSampled rows,

@@ -371,10 +371,14 @@ class OpsSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     def count(needle: String): Int = needle.r.findAllIn(plan).length
     assert(count("split\\(") == 1, s"expected ONE split in plan:\n$plan")
-    assert(count("graft_hash64") == 1,
-      s"expected ONE graft_hash64 digest pass in plan:\n$plan")
+    assert(count("graft_shingle_sigs") == 1,
+      s"expected ONE fused shingle-sigs pass in plan:\n$plan")
     assert(count("md5\\(") == 0,
       s"native digest path must not fall back to md5:\n$plan")
+    assert(count("graft_hash64") == 0,
+      s"fused path must not also hash per-gram strings:\n$plan")
+    assert(count("concat_ws") == 0,
+      s"fused path must not build shingle strings:\n$plan")
   }
 
   test("native minhash hashes == builtins form, element for element") {
@@ -387,6 +391,52 @@ class OpsSpec extends AnyFunSuite {
       .collect()
     rows.foreach { r =>
       assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id ${r.getLong(0)}")
+    }
+  }
+
+  test("fused shingle hash64s == shingles->graft_hash64 chain, element for element") {
+    import org.apache.spark.sql.functions.{call_function, lit, transform => htransform}
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b"), // fewer than k words -> empty array on both paths
+      (3L, "café 中文 naïve x café 中文 naïve"), // unicode + repeats
+      (4L, "x y z")) // exactly k
+      .toDF("id", "text")
+      .withColumn("w", org.apache.spark.sql.functions.split($"text", " "))
+    val rows = df.select($"id",
+        htransform(Dedup.shingles($"w", 3),
+          s => Dedup.tokenHash64Native(spark, s)).as("ref"),
+        call_function("graft_shingle_hash64s", $"w", lit(3)).as("got"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id ${r.getLong(0)}")
+    }
+    assert(rows.find(_.getLong(0) == 2L).get.getSeq[Long](1).isEmpty)
+  }
+
+  test("fused shingle sigs == full builtins banding chain, band for band") {
+    import org.apache.spark.sql.functions.{array_distinct, call_function, lit}
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b"), // shingle-less -> NULL sigs on both paths
+      (3L, "café 中文 naïve x café 中文 naïve x café 中文"), // repeated shingles
+      (4L, "x y z"))
+      .toDF("id", "text")
+      .withColumn("w", org.apache.spark.sql.functions.split($"text", " "))
+    val rows = df.select($"id",
+        Dedup.minhashBandsFromHashes(
+          Dedup.minhashHashesNative(spark,
+            array_distinct(Dedup.shingles($"w", 3))), 8).as("ref"),
+        call_function("graft_shingle_sigs", $"w", lit(3), lit(8), lit(4)).as("got"))
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val ref = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(b => if (b.isNullAt(1)) null else b.getLong(1))
+      if (id == 2L) assert(r.isNullAt(2) && ref.forall(_ == null), s"id $id")
+      else assert(ref == r.getSeq[Long](2).map(x => x: Any), s"id $id")
     }
   }
 
