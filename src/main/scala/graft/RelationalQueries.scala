@@ -32,6 +32,31 @@ object RelationalQueries {
       .withColumn("text", concat(col("text"), lit(" planted near dup copy"))))
   }
 
+  /** Shared input of the line-dedup queries: the battery corpus has no
+    * newlines, so multi-line documents are synthesized deterministically
+    * (the planting discipline of plantNearDups / q_pii_scrub): every doc
+    * opens with the same cookie-banner line, its words re-wrap into 6-word
+    * content lines, and every third doc closes with a copyright footer —
+    * the exact boilerplate population RefinedWeb's line filter targets.
+    * Mirrored verbatim in the `docs` CTE of both line-dedup oracles.
+    */
+  private def multiLineDocs(documents: DataFrame): DataFrame = {
+    val w = split(trim(col("text")), "\\s+")
+    documents.filter(col("doc_id") < 400)
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"),
+        array_join(
+          concat(
+            array(lit("cookie banner accept all tracking")),
+            transform(
+              sequence(lit(1), floor((size(col("w")) + 5) / lit(6)).cast("int")),
+              i => concat_ws(" ", slice(col("w"), (i - 1) * 6 + 1, lit(6)))),
+            when(col("doc_id") % 3 === 0,
+              array(lit("copyright footer all rights reserved")))
+              .otherwise(array().cast("array<string>"))),
+          "\n").as("text"))
+  }
+
   /** (doc_id, term, tf) over the documents table — the shared first stage of
     * the corpus-statistics queries (TF-IDF, LM quality): lowercased
     * whitespace words, one (doc, term) count aggregate.
@@ -770,6 +795,46 @@ object RelationalQueries {
           least(col("n_words") - col("col") + 1, lit(64)).cast("long").as("n_tokens"),
           md5(concat_ws(" ", slice(col("w"), col("col"), lit(64)))).as("chunk_fp"))
         .orderBy(col("doc_id"), col("chunk_seq"))
+    }),
+
+    // CCNet-style keep-first line dedup: each distinct line's globally
+    // first occurrence (min (doc_id, pos)) survives; all other occurrences
+    // are cut and documents are reassembled in original order
+    "q_line_dedup_first" -> ((s, dir) => {
+      graft.ops.LineDedup.keepFirst(
+        multiLineDocs(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // RefinedWeb-style boilerplate cut: every occurrence of a line present
+    // in >= 3 distinct documents is removed (cookie banner: all 400 docs;
+    // copyright footer: every third doc; recurring 6-word content lines)
+    "q_line_dedup_boiler" -> ((s, dir) => {
+      graft.ops.LineDedup.dropFrequent(
+        multiLineDocs(t(s, dir, "documents")), "doc_id", "text", minDocs = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Count-Min sketch word frequencies: ONE fixed-size sketch aggregated
+    // over the exploded word stream (native TypedImperativeAggregate —
+    // executors fold locally, only d*w counter arrays merge), probed for a
+    // fixed word set. Width 64 is deliberately SMALL so cells collide and
+    // the min-over-rows estimate logic is exercised, not just exact counts;
+    // sums + min are merge-order independent, so the DuckDB oracle replays
+    // the sketch bit-for-bit at any parallelism
+    "q_cms_wordfreq" -> ((s, dir) => {
+      import s.implicits._
+      val words = t(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      val sk = words.agg(
+        graft.functions.Cms.sketch(s, col("word"), 4, 64).as("sk"))
+      val probes = Seq("table", "query", "spark", "data", "window",
+        "hash", "the", "zebra").toDF("word")
+      probes.crossJoin(broadcast(sk))
+        .select(col("word"),
+          graft.functions.Cms.estimate(s, col("sk"), col("word"), 4, 64)
+            .as("est"))
+        .orderBy(col("word"))
     })
   )
 
@@ -1449,6 +1514,93 @@ object RelationalQueries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+\d[\d-]{7,}', '<PHONE>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
-        |FROM p ORDER BY doc_id""".stripMargin
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // multi-line corpus CTE mirrors multiLineDocs verbatim; keep =
+    // globally-first occurrence of the line (min (doc_id, pos))
+    "q_line_dedup_first" ->
+      """WITH base AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE doc_id < 400),
+        |docs AS (SELECT doc_id,
+        |    ['cookie banner accept all tracking']
+        |    || list_transform(
+        |         generate_series(1, cast(floor((len(w) + 5) / 6) as bigint)),
+        |         i -> array_to_string(w[(i-1)*6+1 : (i-1)*6+6], ' '))
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ['copyright footer all rights reserved'] ELSE [] END
+        |    AS ls FROM base),
+        |lines AS (SELECT doc_id,
+        |    unnest(generate_series(0, len(ls) - 1)) AS pos,
+        |    unnest(ls) AS line FROM docs),
+        |flagged AS (SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
+        |      AS keep FROM lines)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  count(*) FILTER (WHERE keep) AS n_kept,
+        |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE keep), '') AS clean_text
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // keep = line's distinct-document frequency below the minDocs=3 bar
+    "q_line_dedup_boiler" ->
+      """WITH base AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE doc_id < 400),
+        |docs AS (SELECT doc_id,
+        |    ['cookie banner accept all tracking']
+        |    || list_transform(
+        |         generate_series(1, cast(floor((len(w) + 5) / 6) as bigint)),
+        |         i -> array_to_string(w[(i-1)*6+1 : (i-1)*6+6], ' '))
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ['copyright footer all rights reserved'] ELSE [] END
+        |    AS ls FROM base),
+        |lines AS (SELECT doc_id,
+        |    unnest(generate_series(0, len(ls) - 1)) AS pos,
+        |    unnest(ls) AS line FROM docs),
+        |freq AS (SELECT line, count(DISTINCT doc_id) AS nd
+        |  FROM lines GROUP BY line),
+        |flagged AS (SELECT l.doc_id, l.pos, l.line, f.nd < 3 AS keep
+        |  FROM lines l JOIN freq f USING (line))
+        |SELECT doc_id, count(*) AS n_lines,
+        |  count(*) FILTER (WHERE keep) AS n_kept,
+        |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE keep), '') AS clean_text
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // full Count-Min replay: h = unsigned high 32 md5 bits (the repo-wide
+    // 32-bit hash mirror), row i probes ((a_i*h + c_i) mod P) mod 64 with
+    // the shared MinHash affine family; estimate = min over rows of the
+    // cell's total count. LEFT JOIN + coalesce(0) covers probe cells no
+    // corpus word landed in (Spark reads 0 from the counter array)
+    "q_cms_wordfreq" ->
+      """WITH words AS (SELECT unnest(
+        |    string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |cnt AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+        |hcnt AS (SELECT word, c,
+        |    ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM cnt),
+        |cells AS (SELECT word, c,
+        |    unnest(generate_series(0, 3)) AS i,
+        |    unnest(list_transform(generate_series(0, 3), j ->
+        |      ((((2654435761 * (j+1)) % 2147483647) * h
+        |        + ((2246822519 * (j+1)) % 2147483647)) % 4294967311) % 64))
+        |      AS cell
+        |  FROM hcnt),
+        |sums AS (SELECT i, cell, sum(c) AS tot FROM cells GROUP BY i, cell),
+        |probes(word) AS (VALUES ('table'), ('query'), ('spark'), ('data'),
+        |  ('window'), ('hash'), ('the'), ('zebra')),
+        |pc AS (SELECT word,
+        |    unnest(generate_series(0, 3)) AS i,
+        |    unnest(list_transform(generate_series(0, 3), j ->
+        |      ((((2654435761 * (j+1)) % 2147483647) * h
+        |        + ((2246822519 * (j+1)) % 2147483647)) % 4294967311) % 64))
+        |      AS cell
+        |  FROM (SELECT word,
+        |      ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM probes)),
+        |est AS (SELECT pc.word, min(coalesce(s.tot, 0)) AS est
+        |  FROM pc LEFT JOIN sums s ON s.i = pc.i AND s.cell = pc.cell
+        |  GROUP BY pc.word)
+        |SELECT word, est::BIGINT AS est FROM est ORDER BY word""".stripMargin
   )
 }

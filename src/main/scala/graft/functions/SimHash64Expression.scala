@@ -211,7 +211,13 @@ object GraftFunctions {
       (FunctionIdentifier("graft_shingle_sigs"),
         new ExpressionInfo(classOf[ShingleSigs].getName, "graft_shingle_sigs"),
         (exprs: Seq[Expression]) => ShingleSigs(exprs.head, litInt(exprs(1), "k"),
-          litInt(exprs(2), "bands"), litInt(exprs(3), "rows"))))
+          litInt(exprs(2), "bands"), litInt(exprs(3), "rows"))),
+      (FunctionIdentifier("graft_cms"),
+        new ExpressionInfo(classOf[CmsSketch].getName, "graft_cms"),
+        // an AggregateFunction from the registry is wrapped in its
+        // AggregateExpression by the analyzer (ResolveFunctions)
+        (exprs: Seq[Expression]) => CmsSketch(exprs.head,
+          litInt(exprs(1), "depth"), litInt(exprs(2), "width"))))
 
   /** Register graft's native expressions on a session (idempotent); after
     * this, `call_function("graft_simhash64", col)` / SQL resolve to the

@@ -479,4 +479,124 @@ class OpsSpec extends AnyFunSuite {
       .view.mapValues(_.map(r => (r.getInt(1), r.getLong(2))).toSet).toMap
     assert(sigs(1L) == sigs(2L))
   }
+
+  // ---- line-level dedup (LineDedup) ----------------------------------
+
+  /** Deterministic multi-line corpus: shared banner on every doc, shared
+    * footer on every third, pseudo-random content lines from a small pool
+    * (so some content lines recur across docs), and doc 7 repeats one of
+    * its own lines twice.
+    */
+  private def lineCorpus(n: Int): Seq[(Long, String)] = {
+    val pool = Vector("alpha beta gamma", "delta epsilon zeta", "eta theta iota",
+      "kappa lambda mu", "nu xi omicron", "pi rho sigma", "tau upsilon phi")
+    (0 until n).map { d =>
+      val content = (0 until 3 + d % 3).map(i => pool((d * 5 + i * 3) % pool.size))
+      val lines = Seq("cookie banner line") ++ content ++
+        (if (d == 7) Seq(content.head) else Nil) ++
+        (if (d % 3 == 0) Seq("footer all rights") else Nil)
+      (d.toLong, lines.mkString("\n"))
+    }
+  }
+
+  private def bruteLineDedup(corpus: Seq[(Long, String)],
+                             keep: Seq[(Long, Int, String)] => ((Long, Int, String)) => Boolean)
+      : Map[Long, (Long, Long, String)] = {
+    val occ = corpus.flatMap { case (d, t) =>
+      t.split("\n", -1).zipWithIndex.map { case (l, p) => (d, p, l) } }
+    val keepF = keep(occ)
+    occ.groupBy(_._1).map { case (d, os) =>
+      val kept = os.sortBy(_._2).filter(keepF)
+      d -> (os.size.toLong, kept.size.toLong, kept.map(_._3).mkString("\n"))
+    }
+  }
+
+  test("LineDedup.keepFirst == brute force; within-doc repeats cut; order kept") {
+    val corpus = lineCorpus(30)
+    val expected = bruteLineDedup(corpus, { occ =>
+      val first = occ.groupBy(_._3).view
+        .mapValues(_.minBy(o => (o._1, o._2))).toMap
+      o => first(o._3) == o
+    })
+    val got = graft.ops.LineDedup.keepFirst(
+        corpus.toDF("doc_id", "text").repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == expected)
+    // the banner survives exactly once corpus-wide
+    assert(got.values.count(_._3.contains("cookie banner line")) == 1)
+    // doc 7's self-repeat was cut (its repeat line is not kept twice in 7)
+    val d7 = got(7L)._3.split("\n", -1)
+    assert(d7.distinct.length == d7.length)
+  }
+
+  test("LineDedup.dropFrequent == brute force; all-boilerplate doc -> empty text") {
+    val corpus = lineCorpus(30) :+ (99L, "cookie banner line\nfooter all rights")
+    val expected = bruteLineDedup(corpus, { occ =>
+      val nd = occ.groupBy(_._3).view.mapValues(_.map(_._1).distinct.size).toMap
+      o => nd(o._3) < 3
+    })
+    val got = graft.ops.LineDedup.dropFrequent(
+        corpus.toDF("doc_id", "text").repartition(5), "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == expected)
+    assert(got(99L)._3 == "" && got(99L)._2 == 0L,
+      "a doc of pure boilerplate must come back empty, not disappear")
+    assert(got.values.forall(!_._3.contains("cookie banner line")))
+  }
+
+  test("LineDedup results are parallelism-independent") {
+    val corpus = lineCorpus(40)
+    def run(parts: Int) = graft.ops.LineDedup.keepFirst(
+        corpus.toDF("doc_id", "text").repartition(parts), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(run(2) == run(16))
+  }
+
+  // ---- Count-Min sketch aggregate (graft_cms) ------------------------
+
+  test("CMS: estimates upper-bound exact counts; exact at wide width; absent key can read 0") {
+    val words = spark.read.parquet(docsPath)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("word"))
+    val exact = words.groupBy($"word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def estimates(width: Int): Map[String, Long] = {
+      val sk = words.agg(graft.functions.Cms.sketch(spark, $"word", 4, width).as("sk"))
+      exact.keys.toSeq.toDF("word").crossJoin(broadcast(sk))
+        .select($"word",
+          graft.functions.Cms.estimate(spark, $"sk", $"word", 4, width).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val narrow = estimates(16) // heavy collisions: min-over-rows is doing the work
+    exact.foreach { case (w, c) =>
+      assert(narrow(w) >= c, s"CMS estimate must never undercount ($w)") }
+    assert(narrow.exists { case (w, e) => e > exact(w) },
+      "width 16 over this vocabulary must collide somewhere")
+    val wide = estimates(1 << 16)
+    exact.foreach { case (w, c) => assert(wide(w) == c, s"wide CMS exact for $w") }
+  }
+
+  test("CMS sketch is merge-order independent (bit-identical at any parallelism)") {
+    val words = spark.read.parquet(docsPath)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("word"))
+    def sketch(parts: Int): Seq[Long] =
+      words.repartition(parts)
+        .agg(graft.functions.Cms.sketch(spark, $"word", 4, 64).as("sk"))
+        .collect().head.getSeq[Long](0)
+    val a = sketch(1)
+    val b = sketch(13)
+    assert(a == b)
+    assert(a.sum == 4L * words.count(), "every row increments each of the 4 sketch rows")
+  }
+
+  test("CMS skips nulls and resolves from SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq(Some("a"), None, Some("a"), Some("b")).toDF("w")
+      .createOrReplaceTempView("cms_in")
+    val sk = spark.sql("SELECT graft_cms(w, 2, 8) AS sk FROM cms_in")
+      .collect().head.getSeq[Long](0)
+    assert(sk.sum == 6L, "3 non-null values x 2 rows")
+  }
 }
