@@ -16,14 +16,21 @@ import org.apache.spark.sql.functions._
   * gate <= 2x);
   * `decon` — benchmark decontamination (8-gram overlap vs a ~0.1% eval
   * slice); `funnel` — the composed curation funnel (ops.Curation: langid ->
-  * quality -> exact dedup -> near-dup dedup with per-stage budgets). Each
+  * quality -> exact dedup -> near-dup dedup with per-stage budgets);
+  * `lines` — line-level keep-first dedup (ops.LineDedup) over a multi-line
+  * re-wrap of the corpus where ONE banner line occurs in 100% of docs (the
+  * hottest possible key for the winner join — the AQE-skew-join reliance
+  * documented in LineDedup's scaladoc, measured here); `cms` — the
+  * Count-Min sketch aggregate over the exploded word stream (the
+  * shuffle-free frequency-summary claim: exchange should be O(partitions ·
+  * d · w), reported by the leg's shuffle columns). Each
   * leg reports wall time, docs/s, total shuffle volume, and task skew
   * (StageMetrics). Results are curated into BENCH/BASELINE.md; the run also
   * writes BENCH/DEDUP_SCALE_LAST.md.
   *
   * Usage: runMain graft.DedupScaleBench [nDocs] [cpus]
-  * [corpus|spans|hotspans|decon|funnel|all] (defaults 1000000, 32, corpus;
-  * SPARK_DRIVER_MEM sizes the forked heap)
+  * [corpus|spans|hotspans|decon|funnel|lines|cms|all] (defaults 1000000, 32,
+  * corpus; SPARK_DRIVER_MEM sizes the forked heap)
   */
 object DedupScaleBench {
   def main(args: Array[String]): Unit = {
@@ -31,7 +38,8 @@ object DedupScaleBench {
     val cpus = if (args.length > 1) args(1) else "32"
     val legsArg = if (args.length > 2) args(2) else "corpus"
     val legs: Seq[String] =
-      if (legsArg == "all") Seq("corpus", "spans", "hotspans", "decon", "funnel")
+      if (legsArg == "all")
+        Seq("corpus", "spans", "hotspans", "decon", "funnel", "lines", "cms")
       else legsArg.split(",").toSeq
     val spark = Bench.newSession(cpus)
     import spark.implicits._
@@ -78,6 +86,31 @@ object DedupScaleBench {
     // (one hot fingerprint key — exercises the funnel's own min-groupBy
     // skew claim), and ~3% are body-identical near-dup copies of their
     // predecessor with a different prefix (caught by MinHash, not exact).
+    // multi-line corpus for the lines leg: every doc opens with the SAME
+    // banner line (the hottest possible winner-join key: nDocs occurrences
+    // of one 8-byte hash), content re-wraps into 6-word lines, every third
+    // doc closes with a shared footer — the q_line_dedup_* planting shape
+    // at 1M scale. Written untimed.
+    var linesDirCreated: Option[String] = None
+    lazy val linesSrc = {
+      val dir = java.nio.file.Files.createTempDirectory(tmpRoot, "graftlines").toString
+      docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .select(col("doc_id"),
+          array_join(
+            concat(
+              array(lit("cookie banner accept all tracking")),
+              transform(
+                sequence(lit(1), floor((size(col("w")) + 5) / lit(6)).cast("int")),
+                i => concat_ws(" ", slice(col("w"), (i - 1) * 6 + 1, lit(6)))),
+              when(col("doc_id") % 3 === 0,
+                array(lit("copyright footer all rights reserved")))
+                .otherwise(array().cast("array<string>"))),
+            "\n").as("text"))
+        .write.mode("overwrite").parquet(dir)
+      linesDirCreated = Some(dir)
+      dir
+    }
+
     var funnelDirCreated: Option[String] = None
     lazy val funnelSrc = {
       val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
@@ -170,6 +203,29 @@ object DedupScaleBench {
           stages.foreach(r => System.err.println(s"[funnel] $r"))
           stages.last.getLong(1) // near-dup-deduped survivors
         }
+      // force the FULL output (sum over clean_text lengths): a bare count()
+      // of the reassembled frame lets Catalyst prune the collect_list /
+      // array_join aggregates and measures only the keep verdict (the decon
+      // lesson). Reported rows = surviving line count.
+      case "lines" =>
+        val ld = spark.read.parquet(linesSrc)
+        def run(d: org.apache.spark.sql.DataFrame): Long =
+          graft.ops.LineDedup.keepFirst(d, "doc_id", "text")
+            .agg(sum(col("n_kept")).as("kept"),
+              sum(length(col("clean_text"))).as("chars"))
+            .collect().head.getLong(0)
+        runLeg("lineDedupKeepFirst") { run(ld.limit(5000)) } { run(ld) }
+      // the sketch is the whole result: reported rows = total updates folded
+      // (sum of all cells = 4 rows x word occurrences), proving the agg saw
+      // every word while the shuffle columns show the O(partitions·d·w)
+      // exchange claim
+      case "cms" =>
+        def run(d: org.apache.spark.sql.DataFrame): Long =
+          d.select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+            .agg(graft.functions.Cms.sketch(spark, col("word"), 4, 4096).as("sk"))
+            .select(aggregate(col("sk"), lit(0L), (a, x) => a + x))
+            .collect().head.getLong(0)
+        runLeg("cmsWordSketch") { run(docs.limit(5000)) } { run(docs) }
       case other => sys.error(s"unknown leg: $other")
     }
 
@@ -200,7 +256,13 @@ object DedupScaleBench {
          |quality -> exact dedup -> near-dup dedup, per-stage budgets) over a
          |documents-shaped text corpus where every gate bites (10%% non-en,
          |30-80 tokens vs the 50 floor, 4%% one shared prefix fingerprint,
-         |3%% body-identical near-dup copies).
+         |3%% body-identical near-dup copies);
+         |lineDedupKeepFirst = ops.LineDedup.keepFirst over a multi-line
+         |re-wrap of the corpus (one banner line in 100%% of docs = the
+         |hottest possible winner-join key; footer in 1/3; 6-word content
+         |lines), full clean_text forced; cmsWordSketch = graft_cms(4, 4096)
+         |over the exploded word stream — the shuffle columns ARE the claim
+         |(only partition-local sketches merge).
          |Task skew = max/median task duration of the worst stage with >= 8
          |tasks and median >= 200 ms. local[$cpus].
          |""".stripMargin.replace("TABLE_ROWS_PLACEHOLDER", table)
@@ -215,6 +277,7 @@ object DedupScaleBench {
     new Directory(new java.io.File(src)).deleteRecursively()
     hotDirCreated.foreach(d => new Directory(new java.io.File(d)).deleteRecursively())
     funnelDirCreated.foreach(d => new Directory(new java.io.File(d)).deleteRecursively())
+    linesDirCreated.foreach(d => new Directory(new java.io.File(d)).deleteRecursively())
     spark.stop()
   }
 }
