@@ -60,6 +60,32 @@ class CodecSpec extends AnyFunSuite {
     val ids = (1000L until 2000L).toArray
     assert(Codec.encodeDocIds(ids).length < 1010) // ~1 byte/gap + first id
   }
+  test("FOR packing: dense run is header-only; all-tf-1 is one byte") {
+    val dense = (1000L until 2000L).toArray
+    // 0x01 + varlong(1000) + width byte 0, nothing else
+    assert(Codec.encodeDocIds(dense).length == 4)
+    assert(Codec.encodeTfs(Array.fill(128)(1)).length == 1)
+  }
+  test("FOR packing: width-32 gaps and the >32-bit legacy fallback round-trip") {
+    val wide = Array(0L, 0xFFFFFFFFL + 1L, 2L * 0xFFFFFFFFL + 2L) // gap-1 = 2^32-1
+    val encW = Codec.encodeDocIds(wide)
+    assert(encW(0) == 0x01.toByte)
+    assert(Codec.decodeDocIds(encW, 3).toSeq == wide.toSeq)
+    val huge = Array(5L, 5L + (1L << 41)) // gap-1 > 32 bits -> legacy
+    val encH = Codec.encodeDocIds(huge)
+    assert(encH(0) == 0x00.toByte)
+    assert(Codec.decodeDocIds(encH, 2).toSeq == huge.toSeq)
+  }
+  test("FOR packing: mixed widths round-trip at every bit width 1..31 (tfs)") {
+    (1 to 31).foreach { b =>
+      // top value: tf-1 = 2^b - 1 needs exactly b bits (2^31-1+1 overflows
+      // Int at b=31, so top out at Int.MaxValue there)
+      val max = if (b == 31) Int.MaxValue else (1 << b)
+      val tfs = Array(1, max, 1 + max / 2, max, 1, 2)
+      assert(Codec.decodeTfs(Codec.encodeTfs(tfs), tfs.length).toSeq == tfs.toSeq,
+        s"width $b")
+    }
+  }
 }
 
 class BM25Spec extends AnyFunSuite {
