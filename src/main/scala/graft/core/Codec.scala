@@ -76,6 +76,7 @@ object Codec {
   /** Encode a strictly-increasing docID array: packed FOR, varint fallback. */
   def encodeDocIds(docIds: Array[Long]): Array[Byte] = {
     val n = docIds.length
+    if (n == 0) return Array(0x01.toByte) // decode(n=0) never reads past it
     val gaps = new Array[Long](n) // gaps(i) = docIds(i) - docIds(i-1) - 1
     var maxG = 0L
     var i = 1

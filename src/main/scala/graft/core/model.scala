@@ -25,9 +25,9 @@ case class DocStats(
     lenRepo: Int)
 
 /** An encoded posting block: up to `blockSize` consecutive postings of one
-  * (field, term). `firstDoc` is absolute; `docsDelta` holds varint gaps
-  * ([[Codec.encodeDocIds]]); `maxTf`/`minQuantLen` feed block-max WAND upper
-  * bounds ([[BM25.maxTermScore]]).
+  * (field, term). `firstDoc` is absolute; `docsDelta` holds FOR bit-packed
+  * gaps behind a format byte ([[Codec.encodeDocIds]]); `maxTf`/`minQuantLen`
+  * feed block-max WAND upper bounds ([[BM25.maxTermScore]]).
   */
 case class PostingBlock(
     firstDoc: Long,

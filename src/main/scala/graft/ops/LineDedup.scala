@@ -45,9 +45,15 @@ object LineDedup {
   private def lineStream(docs: DataFrame, idCol: String, textCol: String,
                          delim: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // NULL text behaves like an empty document (one empty line) rather than
+    // silently dropping the doc from the output — posexplode of the null
+    // array a null text splits to would erase the row (the Packing
+    // null-text contract, ADVICE r5). Trailing delimiters yield trailing
+    // empty lines on both engines (split keeps trailing empties at the
+    // default limit -1; DuckDB string_split likewise — OpsSpec pins it).
     docs
       .select(col(idCol).cast("long").as("doc_id"),
-        posexplode(split(col(textCol),
+        posexplode(split(coalesce(col(textCol), lit("")),
           java.util.regex.Pattern.quote(delim))).as(Seq("pos", "line")))
       .withColumn("g", call_function("graft_hash64", col("line")))
   }

@@ -546,6 +546,42 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.forall(!_._3.contains("cookie banner line")))
   }
 
+  test("LineDedup: empty lines, trailing newlines, and empty docs match brute force") {
+    // trailing "\n" must yield a final empty line on BOTH the engine and the
+    // brute split("\n", -1) — Spark's split keeps trailing empties at the
+    // default limit -1, DuckDB string_split likewise; this pins it
+    val corpus = Seq(
+      (1L, "a b c\nd e f\n"), // trailing empty line
+      (2L, ""), // one empty line
+      (3L, "a b c\n\nd e f"), // interior empty line
+      (4L, "\n\n"), // three empty lines
+      (5L, "d e f\na b c"))
+    val expected = bruteLineDedup(corpus, { occ =>
+      val first = occ.groupBy(_._3).view
+        .mapValues(_.minBy(o => (o._1, o._2))).toMap
+      o => first(o._3) == o
+    })
+    val got = graft.ops.LineDedup.keepFirst(
+        corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == expected)
+    // the empty line dedups like any other line: exactly one empty-line
+    // occurrence survives corpus-wide (it first occurs in doc 1's tail)
+    assert(got.map(_._2._2).sum == expected.map(_._2._2).sum)
+    assert(got(1L) == (3L, 3L, "a b c\nd e f\n"),
+      "doc 1 keeps its trailing empty line (first empty-line occurrence)")
+    assert(got(4L) == (3L, 0L, ""), "doc 4 is all-duplicate empty lines")
+    // NULL text = empty doc (one empty line), not a vanished row
+    val withNull = graft.ops.LineDedup.keepFirst(
+        Seq((1L, Some("a b\n")), (2L, Option.empty[String]))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(withNull(2L) == (1L, 0L, ""),
+      "null text must come back as an empty doc, not disappear")
+  }
+
   test("LineDedup results are parallelism-independent") {
     val corpus = lineCorpus(40)
     def run(parts: Int) = graft.ops.LineDedup.keepFirst(
