@@ -815,6 +815,26 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the composed TEXT-TRANSFORM pipeline (ops.Curation.preprocess):
+    // PII scrub -> line-level boilerplate cut -> token floor, over the
+    // multi-line corpus with a planted per-doc PII line on every fifth doc.
+    // The ordering interaction IS the gate: scrubbing first collapses the
+    // 80 distinct "contact user<id>@..." lines into one identical
+    // "<EMAIL>" line, which the line dedup then cuts as boilerplate —
+    // the oracle replays the same chain, so a swapped stage order or a
+    // scrub that misses the email flips the hash
+    "q_pipeline_preprocess" -> ((s, dir) => {
+      val in = multiLineDocs(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit("\ncontact user"), col("doc_id"),
+              lit("@mail.example.com for details")))
+            .otherwise(col("text")).as("text"))
+      graft.ops.Curation.preprocess(in, "doc_id", "text",
+          minDocs = 3, minTokens = 40)
+        .orderBy(col("doc_id"))
+    }),
+
     // Count-Min sketch word frequencies: ONE fixed-size sketch aggregated
     // over the exploded word stream (native TypedImperativeAggregate —
     // executors fold locally, only d*w counter arrays merge), probed for a
@@ -1567,6 +1587,51 @@ object RelationalQueries {
         |  coalesce(string_agg(line, chr(10) ORDER BY pos)
         |    FILTER (WHERE keep), '') AS clean_text
         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // composed text-transform replay: multiLineDocs CTE + planted PII line,
+    // then scrub -> line-frequency cut -> token floor, same chain
+    "q_pipeline_preprocess" ->
+      """WITH base AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE doc_id < 400),
+        |mdocs AS (SELECT doc_id, array_to_string(
+        |    ['cookie banner accept all tracking']
+        |    || list_transform(
+        |         generate_series(1, cast(floor((len(w) + 5) / 6) as bigint)),
+        |         i -> array_to_string(w[(i-1)*6+1 : (i-1)*6+6], ' '))
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ['copyright footer all rights reserved'] ELSE [] END,
+        |    chr(10)) AS text FROM base),
+        |pdocs AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN text || chr(10) || 'contact user' || doc_id::varchar
+        |      || '@mail.example.com for details' ELSE text END AS text
+        |  FROM mdocs),
+        |scrub AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+\d[\d-]{7,}', '<PHONE>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+        |  FROM pdocs),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM scrub),
+        |lines AS (SELECT doc_id,
+        |    unnest(generate_series(0, len(ls) - 1)) AS pos,
+        |    unnest(ls) AS line FROM ls),
+        |freq AS (SELECT line, count(DISTINCT doc_id) AS nd
+        |  FROM lines GROUP BY line),
+        |flagged AS (SELECT l.doc_id, l.pos, l.line, f.nd < 3 AS keep
+        |  FROM lines l JOIN freq f USING (line)),
+        |rejoined AS (SELECT doc_id, count(*) AS n_lines,
+        |    count(*) FILTER (WHERE keep) AS n_kept,
+        |    coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |      FILTER (WHERE keep), '') AS clean_text
+        |  FROM flagged GROUP BY doc_id),
+        |toks AS (SELECT doc_id, n_lines, n_kept,
+        |    CASE WHEN clean_text = '' THEN 0
+        |      ELSE len(string_split_regex(clean_text, '\s+')) END::BIGINT
+        |      AS n_tokens,
+        |    clean_text FROM rejoined)
+        |SELECT doc_id, n_lines, n_kept, n_tokens, clean_text
+        |FROM toks WHERE n_tokens >= 40 ORDER BY doc_id""".stripMargin,
 
     // full Count-Min replay: h = unsigned high 32 md5 bits (the repo-wide
     // 32-bit hash mirror), row i probes ((a_i*h + c_i) mod P) mod 64 with

@@ -69,4 +69,29 @@ object Curation {
       .unionByName(stage("40_neardup_dedup", near))
       .orderBy(col("stage"))
   }
+
+  /** The TEXT-TRANSFORM half of a curation run — [[funnel]] gates whole
+    * documents, this REWRITES them: PII scrub (TextOps.redactPii) ->
+    * line-level boilerplate cut (LineDedup.dropFrequent) -> token floor on
+    * the surviving text. Stage order is the production order and it
+    * matters: scrubbing FIRST canonicalizes per-document PII variants into
+    * IDENTICAL lines ("contact <EMAIL> for details" across N docs), which
+    * the line dedup then removes as boilerplate — dedup-before-scrub would
+    * leave every variant in place (each email is unique, so no line
+    * repeats). The composed DuckDB oracle (q_pipeline_preprocess) replays
+    * the chain, so the hash gates the ordering, not just the islands.
+    *
+    * Returns one row per SURVIVING document:
+    * (doc_id, n_lines, n_kept, n_tokens, clean_text).
+    */
+  def preprocess(docs: DataFrame, idCol: String, textCol: String,
+                 minDocs: Int = 3, minTokens: Int = 12): DataFrame = {
+    val scrubbed = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextOps.redactPii(col(textCol)).as("text"))
+    LineDedup.dropFrequent(scrubbed, "doc_id", "text", minDocs)
+      .withColumn("n_tokens",
+        when(col("clean_text") === "", lit(0L))
+          .otherwise(size(split(col("clean_text"), "\\s+")).cast("long")))
+      .filter(col("n_tokens") >= minTokens)
+  }
 }

@@ -591,6 +591,30 @@ class OpsSpec extends AnyFunSuite {
     assert(run(2) == run(16))
   }
 
+  test("Curation.preprocess: scrub-before-dedup cuts PII variants as boilerplate; swapped order cannot") {
+    val docs = (0 until 12).map { d =>
+      (d.toLong, s"shared banner line here\ncontent alpha beta $d gamma delta\n" +
+        s"contact person$d@mail.example.com for details")
+    }.toDF("doc_id", "text")
+    val out = graft.ops.Curation.preprocess(docs, "doc_id", "text",
+        minDocs = 3, minTokens = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("clean_text"))).toMap
+    assert(out.size == 12)
+    // scrub first: 12 distinct emails -> one identical "<EMAIL>" line ->
+    // line-frequency cut removes it (and the banner) everywhere
+    assert(out.values.forall(t => !t.contains("<EMAIL>") && !t.contains("@")))
+    assert(out.values.forall(!_.contains("shared banner")))
+    assert(out.values.forall(_.contains("content alpha")), "content lines survive")
+    // swapped order: each raw email line is unique (df=1), survives the
+    // line dedup, and the scrub then only masks it — the variants stay
+    val swapped = graft.ops.LineDedup.dropFrequent(
+        docs, "doc_id", "text", minDocs = 3)
+      .select(col("doc_id"), graft.ops.TextOps.redactPii(col("clean_text")).as("t"))
+      .collect().map(_.getString(1))
+    assert(swapped.forall(_.contains("<EMAIL>")),
+      "dedup-before-scrub must leave one masked PII line per doc — the ordering matters")
+  }
+
   // ---- Count-Min sketch aggregate (graft_cms) ------------------------
 
   test("CMS: estimates upper-bound exact counts; exact at wide width; absent key can read 0") {
