@@ -308,16 +308,24 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     */
   private lazy val querySession: SparkSession = Searcher.newQuerySession(spark)
 
+  /** Batched-kernel session — same throughput-vs-latency split as
+    * [[Searcher.batchQuerySession]]: several even scheduling waves beat the
+    * one-wave latency shape for batch jobs.
+    */
+  private lazy val batchQuerySession: SparkSession = Searcher.newBatchSession(spark)
+
   /** Term-filtered posting runs of one segment (bucket directories pruned,
     * term/field pruned to row groups) — the shared scan of all strategies,
-    * planned under [[querySession]].
+    * planned under [[querySession]] ([[batchQuerySession]] for the batched
+    * kernels).
     */
-  private def filteredRuns(seg: Segment, keys: Set[(String, String)]): Dataset[PostingRun] = {
+  private def filteredRuns(seg: Segment, keys: Set[(String, String)],
+                           batch: Boolean = false): Dataset[PostingRun] = {
     val termList = keys.map(_._2).toSeq
     val fieldList = keys.map(_._1).toSeq
     val bucketList = termList
       .map(t => graft.index.IndexBuilder.bucketOf(t, seg.meta.buckets)).distinct
-    querySession.read.parquet(s"${seg.dir}/postings")
+    (if (batch) batchQuerySession else querySession).read.parquet(s"${seg.dir}/postings")
       .filter($"bucket".isin(bucketList: _*) &&
         $"term".isin(termList: _*) && $"field".isin(fieldList: _*))
       .as[PostingRun]
@@ -491,7 +499,7 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
     val tsBc = seg.tombstonesBc
     val fqB = fqBc // local val: the closure must not capture `this`
     Searcher.gatedJob {
-      filteredRuns(seg, segKeys)
+      filteredRuns(seg, segKeys, batch = true)
         .groupByKey(_.salt)
         .flatMapGroups { (_, it) =>
           val lens = bc.value
@@ -512,7 +520,8 @@ class MultiSearcher(spark: SparkSession, segmentDirs: Seq[String]) {
       segKeys: Set[(String, String)], fieldArr: Array[String],
       avg: Map[String, Double], k: Int,
       fqSet: Option[FqSet] = None): Array[(Int, Hit)] =
-    Searcher.shuffleScore(querySession, seg.dir, filteredRuns(seg, segKeys),
+    Searcher.shuffleScore(batchQuerySession, seg.dir,
+      filteredRuns(seg, segKeys, batch = true),
       fqSet.flatMap(_.docs), fqSet.flatMap(_.sorted),
       (rs, ql, excl) => Searcher.scoreBatch(rs, plansBc.value, ql, fieldArr, avg, k, excl))
 

@@ -271,11 +271,31 @@ class Searcher(spark: SparkSession, indexDir: String) {
     */
   private lazy val querySession: SparkSession = Searcher.newQuerySession(spark)
 
+  /** Session for BATCHED kernel jobs ([[searchManyDistributed]]): same
+    * context, SQL conf tuned for throughput instead of latency. The
+    * round-6 profile (QueryScalingBench, SPARK_GRAFT_TIMING): the batched
+    * kernel stage coalesced to ~1.25x cores tasks (40 at 32 cores), so the
+    * whole second scheduling wave ran 8 tasks on 32 cores — wall = 2x the
+    * median task while task-CPU inflation at 32 threads was only ~13%.
+    * That's scheduler quantization, not bandwidth. For a LATENCY query the
+    * right task count is <= cores (one wave, [[querySession]]'s conf); for
+    * a THROUGHPUT batch it's several waves of small tasks, so this session
+    * floors the post-shuffle coalesce at 4x parallelism (capped by the
+    * index's salt-group count naturally).
+    */
+  private lazy val batchQuerySession: SparkSession = Searcher.newBatchSession(spark)
+
   /** Re-used postings DataFrame (file index cached across queries); planned
     * under [[querySession]] so every strategy's kernel stage inherits the
     * compute-dense coalescing conf.
     */
   private lazy val postingsDF: DataFrame = querySession.read.parquet(s"$indexDir/postings")
+
+  /** [[postingsDF]] planned under [[batchQuerySession]] for the batched
+    * kernel jobs.
+    */
+  private lazy val batchPostingsDF: DataFrame =
+    batchQuerySession.read.parquet(s"$indexDir/postings")
 
   /** Parsed clauses + idf map + mm gate + exact posting volume (sum of dfs —
     * the driver-vs-distributed kernel selector, free from the same lookup).
@@ -292,13 +312,14 @@ class Searcher(spark: SparkSession, indexDir: String) {
     Some((cls, idfMap, BM25.minShouldMatch(cls.length), dfMap.valuesIterator.sum))
   }
 
-  private def filteredRuns(keys: Set[(String, String)]): Dataset[PostingRun] = {
+  private def filteredRuns(keys: Set[(String, String)],
+                           batch: Boolean = false): Dataset[PostingRun] = {
     val termList = keys.map(_._2).toSeq
     val fieldList = keys.map(_._1).toSeq
     // bucket prunes PARTITION DIRECTORIES (only the terms' buckets are even
     // listed); term/field prune row groups inside the surviving files
     val bucketList = termList.map(b => graft.index.IndexBuilder.bucketOf(b, meta.buckets)).distinct
-    postingsDF
+    (if (batch) batchPostingsDF else postingsDF)
       .filter($"bucket".isin(bucketList: _*) &&
         $"term".isin(termList: _*) && $"field".isin(fieldList: _*))
       .as[PostingRun]
@@ -662,7 +683,7 @@ class Searcher(spark: SparkSession, indexDir: String) {
           val tsBc = tombstonesBc
           val fqB = fqBcOpt // local val: the closure must not capture `this`
           Searcher.gatedJob {
-            filteredRuns(allKeys)
+            filteredRuns(allKeys, batch = true)
               .groupByKey(_.salt)
               .flatMapGroups { (_, it) =>
                 val nt = bc.value
@@ -676,7 +697,8 @@ class Searcher(spark: SparkSession, indexDir: String) {
           // big-fq regime: the PERSISTED resolution semi-joins docstats
           // (resolve-once); a broadcastable fq that lands here because the
           // corpus routed to shuffle rides the kernel predicate instead
-          Searcher.shuffleScore(querySession, indexDir, filteredRuns(allKeys),
+          Searcher.shuffleScore(batchQuerySession, indexDir,
+            filteredRuns(allKeys, batch = true),
             fqSet.flatMap(_.docs), fqBcOpt,
             (rs, ql, excl) =>
               Searcher.scoreBatch(rs, plansBc.value, ql, fieldArr, avgLen, kk, excl))
@@ -825,6 +847,27 @@ object Searcher {
   private[query] def newQuerySession(spark: SparkSession): SparkSession = {
     val s = spark.newSession()
     QuerySessionConf.foreach { case (k, v) => s.conf.set(k, v) }
+    s
+  }
+
+  /** Extra conf for the BATCH query session on top of [[QuerySessionConf]]
+    * (set before constructing searchers to override). The batch kernel is a
+    * throughput stage: several even scheduling waves of small tasks beat the
+    * latency-optimal one-wave shape — a task count of ~1.25x cores leaves
+    * most cores idle for the whole second wave (measured: 40 tasks at 32
+    * cores = wall 2x median task). Floors the post-shuffle coalesce at
+    * 4x parallelism with enough initial partitions to coalesce DOWN from;
+    * the index's salt-group count caps the effective fan-out.
+    */
+  @volatile var BatchSessionConf: Map[String, String] = Map.empty
+
+  private[query] def newBatchSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    val p = spark.sparkContext.defaultParallelism
+    QuerySessionConf.foreach { case (k, v) => s.conf.set(k, v) }
+    s.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionNum", (4 * p).toString)
+    s.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", (32 * p).toString)
+    BatchSessionConf.foreach { case (k, v) => s.conf.set(k, v) }
     s
   }
 

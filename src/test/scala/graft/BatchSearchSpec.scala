@@ -114,6 +114,10 @@ class BatchSearchSpec extends AnyFunSuite {
     // literal 1)
     val s = new Searcher(spark, tmp)
     s.search(batch.head, 10) // warm dict/norms/tombstones (their one-off jobs)
+    // warm the batch session's postings file index too (a one-off listing
+    // job since the batch path plans under its own session) — the gate is
+    // MARGINAL job-count equality, single vs batch
+    s.searchManyDistributed(Seq(batch.head), 10)
     def countJobs(group: String)(body: => Unit): Int = {
       val counter = new java.util.concurrent.atomic.AtomicInteger(0)
       val listener = new org.apache.spark.scheduler.SparkListener {
