@@ -137,7 +137,12 @@ object RelationalQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
-    // J3 multi-way denormalizing join (sinai_json_importer.py:265-310)
+    // J3 multi-way denormalizing join (sinai_json_importer.py:265-310).
+    // r7 audit, deliberately left alone: the plan is ALREADY a pure
+    // broadcast chain — lineitem is the only scan that isn't broadcast and
+    // it is never shuffled (orders/customer fall under the auto-broadcast
+    // threshold at battery SF, nation/region are hinted); 4× BHJ, zero
+    // SortMergeJoin (plans/r07/q_multiway_join_before.txt).
     "q_multiway_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
@@ -153,32 +158,47 @@ object RelationalQueries {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
-    // S4 realtime-get / semi join (importer.py:172-179)
+    // S4 realtime-get / semi join (importer.py:172-179).
+    // Same deliberate strategy as q_anti_join (guide §3.1): distinct probe
+    // keys broadcast, customer side never shuffled (was a SortMergeJoin).
     "q_semi_join" -> ((s, dir) => {
       t(s, dir, "customer")
-        .join(t(s, dir, "orders").filter(col("o_totalprice") > 20000)
-          .select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(broadcast(t(s, dir, "orders").filter(col("o_totalprice") > 20000)
+          .select("o_custkey").distinct()),
+          col("c_custkey") === col("o_custkey"), "left_semi")
         .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_cust"))
         .orderBy(col("c_mktsegment"))
     }),
 
-    // K4 delete-by-query / anti join (importer.py:147-213)
+    // K4 delete-by-query / anti join (importer.py:147-213).
+    // Join strategy picked deliberately (guide §3.1): the anti-join's right
+    // side projected to DISTINCT l_orderkey is ~1.2 MB of longs — broadcast
+    // it and the 150k-row orders side is never shuffled (r1-r6: SortMergeJoin
+    // with BOTH sides exchanged+sorted). The distinct aggregates map-side
+    // before the collect. At corpus scales where the key set outgrows the
+    // broadcast cap, drop the hint and this degrades back to the SMJ.
     "q_anti_join" -> ((s, dir) => {
       t(s, dir, "orders")
-        .join(t(s, dir, "lineitem").select("l_orderkey"),
+        .join(broadcast(t(s, dir, "lineitem").select("l_orderkey").distinct()),
           col("o_orderkey") === col("l_orderkey"), "left_anti")
         .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
         .orderBy(col("o_orderpriority"))
     }),
 
-    // S1 last-row-wins keyed scan (importer.py:95-102 dict overwrite)
+    // S1 last-row-wins keyed scan (importer.py:95-102 dict overwrite).
+    // Aggregate instead of window (guide §2.3 "aggregate before you
+    // shuffle"): max over a (ts, event_id, event_type) struct is the
+    // last-wins row under the same (ts DESC, event_id DESC) order the r1-r6
+    // row_number window used — but it partial-aggregates map-side, so the
+    // exchange carries one row per user instead of every event, and the
+    // window's per-partition sort disappears. (event_id is the event PK, so
+    // the struct's third field never decides a comparison.)
     "q_last_wins" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
       t(s, dir, "events")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
-        .select("user_id", "event_id", "event_type", "ts")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("m.event_id").as("event_id"),
+          col("m.event_type").as("event_type"), col("m.ts").as("ts"))
         .orderBy(col("user_id"))
     }),
 
@@ -251,11 +271,18 @@ object RelationalQueries {
         .orderBy(col("p_partkey"))
     }),
 
-    // A7 integer year-range expansion (year_parser.py:12-35)
+    // A7 integer year-range expansion (year_parser.py:12-35).
+    // Aggregate BEFORE exploding (guide §2.3 "shuffle fewer bytes"): distinct
+    // (priority, start-year) first — map-side partial aggregation collapses
+    // the 150k-row scan to ~O(priorities × years) rows BEFORE any exchange —
+    // then expand the tiny distinct set and re-distinct the overlaps. The
+    // r1-r6 shape exploded 3× rows into the distinct's shuffle.
     "q_year_expand" -> ((s, dir) => {
       t(s, dir, "orders")
+        .select(col("o_orderpriority"), year(col("o_orderdate")).as("y0"))
+        .distinct()
         .select(col("o_orderpriority"),
-          explode(sequence(year(col("o_orderdate")), year(col("o_orderdate")) + 2)).as("y"))
+          explode(sequence(col("y0"), col("y0") + 2)).as("y"))
         .distinct()
         .orderBy(col("o_orderpriority"), col("y"))
     }),
@@ -442,6 +469,10 @@ object RelationalQueries {
       // banding via the shared plan-gated projection (ONE split + ONE md5;
       // a mid-pipeline size(sh)>0 filter would predicate-push the whole
       // shingle expression below the projections — see Dedup.bandedProjection)
+      // eager localCheckpoint: the banding feeds BOTH self-join sides — an
+      // un-materialized plan re-runs shingle+hash once per side (guide §5
+      // "reuse *and* recomputing is more expensive"), and the checkpointed
+      // size lets AQE turn the self-join into a broadcast at battery scale
       val docs = graft.ops.Dedup.bandedProjection(
           plantNearDups(t(s, dir, "documents"))
             // a narrow filter must not collapse the heavy shingle+hash compute
@@ -449,6 +480,7 @@ object RelationalQueries {
             .repartition(s.sparkContext.defaultParallelism),
           "doc_id", "text", 3, 8)
         .withColumnRenamed("_id", "doc_id")
+        .localCheckpoint(true)
       val l = docs.select(col("doc_id").as("a"), col("band"), col("sig"))
       val r = docs.select(col("doc_id").as("b"), col("band"), col("sig"))
       l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
@@ -476,16 +508,22 @@ object RelationalQueries {
     // propagation) — one representative per duplicate group
 
     "q_dedup_clusters" -> ((s, dir) => {
+      // eager localCheckpoint for the same two reasons as q_minhash_lsh:
+      // banding computed once, AQE broadcast on the self-join. The r1-r6
+      // pairs.distinct() exchange is dropped — connectedComponents' union-
+      // find is insensitive to duplicate edges, so the distinct bought
+      // nothing but a shuffle.
       val docs = graft.ops.Dedup.bandedProjection(
           plantNearDups(t(s, dir, "documents"))
             // spread the surviving heavy rows across cores (see q_minhash_lsh)
             .repartition(s.sparkContext.defaultParallelism),
           "doc_id", "text", 3, 8)
         .withColumnRenamed("_id", "doc_id")
+        .localCheckpoint(true)
       val l = docs.select(col("doc_id").as("a"), col("band"), col("sig"))
       val r = docs.select(col("doc_id").as("b"), col("band"), col("sig"))
       val pairs = l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
-        .select(col("a"), col("b")).distinct()
+        .select(col("a"), col("b"))
       graft.ops.Dedup.connectedComponents(pairs)
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_members"),
@@ -621,18 +659,27 @@ object RelationalQueries {
       s.table(name).orderBy(col("window_start"), col("event_type"))
     }),
 
-    // brute-force cosine top-k over embeddings (ANN baseline)
+    // brute-force cosine top-k over embeddings (ANN baseline).
+    // The query vector is ONE row: collect it and inline it as a literal
+    // array instead of the r1-r6 crossJoin(broadcast(q)) — that plan paid a
+    // broadcast-build job AND re-evaluated dot(qv,qv) per corpus row (the
+    // interpreted-HOF chain can't constant-fold a broadcast column). The
+    // query norm is folded once on the driver with the same left-to-right
+    // IEEE summation the aggregate() HOF uses, so every emitted value is
+    // bit-identical; per-row work drops from 3 dot passes to 2.
     "q_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .withColumn("v", transform(col("embedding"), x => x.cast("double")))
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("v").as("qv"))
+      val qv: Array[Double] = emb.filter(col("vec_id") === 0)
+        .select(col("v")).first().getSeq[Double](0).toArray
+      val qNorm = math.sqrt(qv.foldLeft(0.0)((acc, x) => acc + x * x))
+      val qvCol = array(qv.map(lit): _*)
       def dot(x: Column, y: Column): Column =
         aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
-      emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      emb.filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
-          round(dot(col("v"), col("qv")) /
-            (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))), 4)
+          round(dot(col("v"), qvCol) /
+            (sqrt(dot(col("v"), col("v"))) * lit(qNorm)), 4)
             .as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
@@ -721,11 +768,14 @@ object RelationalQueries {
     // last-ulp ln() divergence can't flip the hash; ties break on term asc
     "q_tfidf_keywords" -> ((s, dir) => {
       val tf = docTermTf(s, dir)
+      // vocab-sized df table: BROADCAST it (guide §3.1) like q_lm_quality's
+      // unigram table — the r1-r6 plan re-shuffled the whole (doc, term) tf
+      // stream by term for a SortMergeJoin against a table 100× smaller
       val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = t(s, dir, "documents").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("term"))
-      tf.join(dfTab, "term").crossJoin(n)
+      tf.join(broadcast(dfTab), "term").crossJoin(n)
         .withColumn("tfidf",
           round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 6))
         .withColumn("rank", row_number().over(w))

@@ -24,8 +24,22 @@ object Curation {
     * stage, ordered by stage. Thresholds are the battery's (sized so every
     * gate bites on the synthetic corpora: ~9% fail strict language
     * dominance, ~45% the token floor, ~5% share a prefix fingerprint).
+    *
+    * r7 shape (guide §1.2 "the distributed algorithm first"): the r1-r6
+    * form evaluated the funnel ONCE PER STAGE ROW — five unioned aggregates
+    * whose lineages each re-ran the corpus scan, the language/quality
+    * expressions (up to 5×/3×) and the exact-dedup join (2×). Now the gate
+    * flags are computed in ONE pass over a persisted narrow projection, the
+    * first three stage rows come from ONE conditional aggregate, and the
+    * two dedup stages run over a persisted `exact` (scanned by the stage
+    * row, the banding, and the anti-join instead of re-deriving the chain).
+    * Stage rows are collected eagerly (5 tiny 1-row jobs) so every cache is
+    * released before returning; the result is a 5-row local relation with
+    * the same schema/values, ordered by stage.
     */
   def funnel(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val wordsLower = split(lower(col("text")), "\\s+")
     val en = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
     val es = array(Seq("el", "la", "de", "y", "que").map(lit): _*)
@@ -33,15 +47,26 @@ object Curation {
     val raw = docs.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("text"))
       .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
-    val langEn = raw
+    // one pass computes BOTH gate verdicts; the heavy per-doc expressions
+    // (3× array_intersect, the alpha regex) run exactly once per document
+    val flagged = raw
       .withColumn("s_en", size(array_intersect(wordsLower, en)))
       .withColumn("s_es", size(array_intersect(wordsLower, es)))
       .withColumn("s_de", size(array_intersect(wordsLower, de)))
-      .filter(col("s_en") > col("s_es") && col("s_en") > col("s_de"))
-    val quality = langEn
       .withColumn("alpha", length(regexp_replace(col("text"), "[^a-zA-Z]", "")))
-      .filter(col("n_tokens") >= 50 && col("n_tokens") <= 10000 &&
-        col("alpha") * 2 > length(col("text")))
+      .withColumn("ok_lang", col("s_en") > col("s_es") && col("s_en") > col("s_de"))
+      .withColumn("ok_q", col("ok_lang") && col("n_tokens") >= 50 &&
+        col("n_tokens") <= 10000 && col("alpha") * 2 > length(col("text")))
+      .select("doc_id", "text", "n_tokens", "ok_lang", "ok_q")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stages 00/10/20 from ONE aggregate over the cached flags
+    val s012 = flagged.agg(
+      count(lit(1)), coalesce(sum(col("n_tokens")), lit(0L)),
+      count(when(col("ok_lang"), 1)),
+      coalesce(sum(when(col("ok_lang"), col("n_tokens"))), lit(0L)),
+      count(when(col("ok_q"), 1)),
+      coalesce(sum(when(col("ok_q"), col("n_tokens"))), lit(0L))).first()
+    val quality = flagged.filter(col("ok_q")).select("doc_id", "text", "n_tokens")
     // exact dedup on the 5-token prefix fingerprint (q_dedup_exact's
     // definition): min doc_id per fingerprint survives. Shape: map-side-
     // combinable groupBy(fp) -> semi-join back on doc_id (unique, so the
@@ -54,19 +79,25 @@ object Curation {
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     val exact = quality.join(exactReps, Seq("doc_id"), "left_semi")
-    val near = Dedup.dedupCorpus(
-      exact.select("doc_id", "text", "n_tokens")
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism),
-      "doc_id", "text")
-    def stage(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("n_tokens")), lit(0L)).as("sum_tokens"))
-        .select(lit(name).as("stage"), col("n_docs"), col("sum_tokens"))
-    stage("00_raw", raw)
-      .unionByName(stage("10_lang_en", langEn))
-      .unionByName(stage("20_quality", quality))
-      .unionByName(stage("30_exact_dedup", exact))
-      .unionByName(stage("40_neardup_dedup", near))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def stageRow(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(col("n_tokens")), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    val s3 = stageRow(exact)
+    val near = Dedup.dedupCorpus(exact, "doc_id", "text")
+    val s4 = stageRow(near)
+    flagged.unpersist()
+    exact.unpersist()
+    Seq(
+      ("00_raw", s012.getLong(0), s012.getLong(1)),
+      ("10_lang_en", s012.getLong(2), s012.getLong(3)),
+      ("20_quality", s012.getLong(4), s012.getLong(5)),
+      ("30_exact_dedup", s3._1, s3._2),
+      ("40_neardup_dedup", s4._1, s4._2))
+      .toDF("stage", "n_docs", "sum_tokens")
       .orderBy(col("stage"))
   }
 

@@ -314,18 +314,24 @@ object Dedup {
                        rows: Int = MinhashRows): DataFrame = {
     // persist the banding (shingle + minhash is the expensive part, consumed
     // by BOTH the bucket-rep aggregate and the join-back side); the returned
-    // edge list is materialized (small — near-dup edges only) so the banding
-    // is released here, as in simhashPairs
+    // edge list is materialized by an EAGER localCheckpoint (small — near-dup
+    // edges only) so the banding is released here, as in simhashPairs.
+    // r7: checkpoint instead of persist+count — one materialization job in
+    // place of two (the count() stage was the worst-skew stage of the 1M
+    // dedupCorpus record, 5.8× max/median — VERDICT r6 nit #3), and the
+    // blocks are freed by the context cleaner instead of leaking until a
+    // caller remembers to unpersist.
     val banded = bandedProjection(df, idCol, textCol, shingleK, bands, rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reps = banded.groupBy(col("band"), col("sig"))
-      .agg(min(col("_id")).as("a"), count(lit(1)).as("_n"))
-      .filter(col("_n") > 1).drop("_n")
-    val edges = banded.join(reps, Seq("band", "sig"))
-      .filter(col("_id") =!= col("a"))
-      .select(col("a"), col("_id").as("b")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count()
+    val edges = {
+      val reps = banded.groupBy(col("band"), col("sig"))
+        .agg(min(col("_id")).as("a"), count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).drop("_n")
+      banded.join(reps, Seq("band", "sig"))
+        .filter(col("_id") =!= col("a"))
+        .select(col("a"), col("_id").as("b")).distinct()
+        .localCheckpoint(true)
+    }
     banded.unpersist()
     edges
   }
@@ -354,38 +360,46 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           driverMaxEdges: Long = 1L << 20): DataFrame = {
+    // Hybrid, like the searcher's driver-local kernel: near-dup graphs are
+    // usually tiny relative to the corpus (edges ∝ duplicates, not docs), so
+    // below the cutoff a driver union-find replaces O(diameter) Spark rounds
+    // with one collect. Same labels (min node id per component) either way.
+    //
+    // r7: the small case is probed with ONE bounded collect (limit N+1) —
+    // union-find is insensitive to duplicate and asymmetric edges, so the
+    // r1-r6 symmetrize→distinct→persist→count round-trip (two extra jobs +
+    // a full exchange of the edge list) bought nothing on this path. Only
+    // the genuinely-large case pays for symmetrization.
+    val probe = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .limit(math.min(driverMaxEdges + 1, Int.MaxValue.toLong).toInt)
+    locally {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val edges = probe.as[(Long, Long)].collect()
+      if (edges.length <= driverMaxEdges) {
+        val parent = mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edges.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        return parent.keysIterator.map(n => (n, find(n))).toSeq
+          .toDF("node", "label")
+      }
+    }
     // pairs may be an expensive upstream plan (LSH banding); persist it so
     // the two symmetrization branches don't each recompute it
     val p = pairs.select(col("a"), col("b")).persist()
     val sym = p.union(p.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist()
-    // Hybrid, like the searcher's driver-local kernel: near-dup graphs are
-    // usually tiny relative to the corpus (edges ∝ duplicates, not docs), so
-    // below the cutoff a driver union-find replaces O(diameter) Spark rounds
-    // with one collect. Same labels (min node id per component) either way.
-    if (sym.count() <= driverMaxEdges) {
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      val edges = sym.select(col("a").cast("long"), col("b").cast("long"))
-        .as[(Long, Long)].collect()
-      sym.unpersist(); p.unpersist()
-      val parent = mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      edges.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      return parent.keysIterator.map(n => (n, find(n))).toSeq
-        .toDF("node", "label")
-    }
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist()

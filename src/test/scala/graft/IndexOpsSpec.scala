@@ -272,4 +272,38 @@ class IndexOpsSpec extends AnyFunSuite {
       .select("docId").as[Long].head()
     assert(!baseIds.contains(oldBaseId), "old version excluded from base segment")
   }
+
+  test("format version: unstamped (pre-v2) snapshot refused loudly; old stage markers invalid") {
+    meta
+    import java.nio.file.{Files, Paths}
+    import java.nio.charset.StandardCharsets
+    val dir = java.nio.file.Files.createTempDirectory("graftfmt").toString
+    IndexBuilder.build(spark, docs.limit(50).as[graft.core.CodeDoc], dir, cfg)
+    // a freshly built snapshot carries the stamp and opens cleanly
+    val snap = new graft.index.Snapshot(dir)
+    assert(snap.readProps()("formatVersion") == graft.core.Codec.FormatVersion.toString)
+    new graft.query.Searcher(spark, dir).close()
+    // simulate a pre-v2 index: strip the stamp from the committed snapshot.
+    // Opening it must throw the NAMED mismatch error (never sniff-decode).
+    val snapFile = Paths.get(dir, "snapshots", s"snap-${snap.currentId}.properties")
+    val stripped = Files.readAllLines(snapFile, StandardCharsets.UTF_8)
+    val tmp2 = Paths.get(dir, "snapshots", ".strip.tmp")
+    Files.write(tmp2, stripped.toArray.map(_.toString)
+      .filterNot(_.startsWith("formatVersion="))
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp2, snapFile, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val e = intercept[graft.index.IndexMeta.FormatVersionMismatch] {
+      new graft.query.Searcher(spark, dir)
+    }
+    assert(e.getMessage.contains("v1") && e.getMessage.contains("v2"))
+    // stage-resume markers from an older format generation ("done", the
+    // pre-r7 content) must NOT count as done — a resumed build re-runs the
+    // stage instead of committing a fresh snapshot over old-format blocks
+    // (the exact r6 upsertDelta chain)
+    Files.write(Paths.get(dir, "_build", "stage.postings.done"),
+      "done".getBytes(StandardCharsets.UTF_8))
+    assert(!snap.stageDone("postings"), "old-format marker must be invalid")
+    snap.markStageDone("postings")
+    assert(snap.stageDone("postings"), "current-format marker valid")
+  }
 }
