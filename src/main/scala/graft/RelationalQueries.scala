@@ -385,16 +385,22 @@ object RelationalQueries {
     // Dedup.shingles with the minhash family.
     "q_quality_repetition" -> ((s, dir) => {
       val w = split(lower(trim(col("text"))), "\\s+")
-      def dupRatio(n: Int) = {
-        val grams = graft.ops.Dedup.shingles(w, n)
+      // r7: shingle arrays aliased as their own columns — each dupRatio
+      // referenced its gram expression at 3 sites (two size() + one
+      // array_distinct), re-running the whole shingle transform per site
+      // under interpreted HOF eval (no CSE); same discipline as q_winnow
+      def dupRatio(grams: Column) =
         when(size(grams) > 0,
           round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6))
           .otherwise(lit(0.0))
-      }
       t(s, dir, "documents")
-        .select(col("doc_id"), size(w).as("n_words"),
-          dupRatio(2).as("dup_2gram_ratio"),
-          dupRatio(3).as("dup_3gram_ratio"))
+        .select(col("doc_id"), w.as("_w"))
+        .select(col("doc_id"), size(col("_w")).as("n_words"),
+          graft.ops.Dedup.shingles(col("_w"), 2).as("_s2"),
+          graft.ops.Dedup.shingles(col("_w"), 3).as("_s3"))
+        .select(col("doc_id"), col("n_words"),
+          dupRatio(col("_s2")).as("dup_2gram_ratio"),
+          dupRatio(col("_s3")).as("dup_3gram_ratio"))
         .withColumn("is_repetitive",
           col("dup_2gram_ratio") > 0.15 || col("dup_3gram_ratio") > 0.05)
         .orderBy(col("doc_id"))
@@ -633,7 +639,17 @@ object RelationalQueries {
     }),
 
     // ST1/ST3 streaming ingest: windowed counts via Structured Streaming
-    // (memory sink, AvailableNow trigger) — same result as the batch window
+    // (memory sink, AvailableNow trigger) — same result as the batch window.
+    // r7 (guide §6 file costs + §2.2 partition sizing): the stateful
+    // aggregation instantiates one state-store instance PER SHUFFLE
+    // PARTITION, each writing its own delta + commit files under the
+    // checkpoint dir every batch — at the session's core-scaled partition
+    // count that was 64 store directories for a state of O(windows × event
+    // types) rows. State partitions are sized to the STATE, not the cores
+    // (env-overridable for corpus-scale state), and the checkpoint goes on
+    // the same tmpfs policy as the session's shuffle dirs. The session conf
+    // is restored after the stream finishes; results are partitioning-
+    // independent (the oracle hash proves it).
     "q_stream_window" -> ((s, dir) => {
       val schema = t(s, dir, "events").schema
       // FileStreamSource requires a directory; stage the single-file table
@@ -651,11 +667,28 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"))
         .select(col("w.start").as("window_start"), col("event_type"), col("cnt"))
       val name = "q_stream_window_tbl"
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val stateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS",
+        math.min(8, s.sparkContext.defaultParallelism).toString)
+      val ckptRoot =
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-stream-ckpt"
+        else System.getProperty("java.io.tmpdir")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ckptRoot))
+      val ckpt = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(ckptRoot), "q_stream_window")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", stateParts)
+      try {
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
       s.table(name).orderBy(col("window_start"), col("event_type"))
     }),
 
@@ -693,12 +726,24 @@ object RelationalQueries {
     }),
 
     // winnowing document fingerprints (Schleimer et al. 2003): k-gram md5
-    // min-sampled over sliding windows — the rolling-hash fingerprint op
+    // min-sampled over sliding windows — the rolling-hash fingerprint op.
+    // r7: ONE native pass (graft_winnow — digest straight from the word
+    // bytes, monotonic-deque rolling min; OpsSpec gates bit-identity to the
+    // builtins chain). The builtins form re-ran the shingle+md5 pass once
+    // per reference site per window under interpreted HOF eval (no CSE) —
+    // a hidden O(words²)/doc measured at 4-5 s of the battery; explode_outer
+    // + isNotNull keeps InferFiltersFromGenerate from duplicating the
+    // expression into a pushed-down filter (bandedProjection discipline).
+    // Output rows identical: the empty-array null pad is dropped like
+    // explode()'s empty-array drop.
     "q_winnow" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
-        .withColumn("w", split(lower(trim(col("text"))), "\\s+"))
-      docs.select(col("doc_id"),
-          explode(graft.ops.TextOps.winnowFingerprints(col("w"), 3, 4)).as("fp"))
+      graft.functions.GraftFunctions.register(s)
+      val w = split(lower(trim(col("text"))), "\\s+")
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), w.as("_w"))
+        .select(col("doc_id"),
+          explode_outer(call_function("graft_winnow", col("_w"), lit(3), lit(4))).as("fp"))
+        .filter(col("fp").isNotNull)
         .orderBy(col("doc_id"), col("fp"))
     }),
 

@@ -116,6 +116,79 @@ case class ShingleHash64s(child: Expression, k: Int)
   }
 }
 
+/** Fused winnowing fingerprints (Schleimer et al. 2003): `graft_winnow(w, k,
+  * win)` == `TextOps.winnowFingerprints(w, k, win)` bit for bit (OpsSpec
+  * gates it): md5-hex each k-gram straight from the word byte arrays, slide
+  * a `win`-wide monotonic-deque minimum (O(grams), vs the builtins form's
+  * O(grams·win) slice+array_min allocations under interpreted HOF eval —
+  * and the HOF tree re-evaluated its gram array per reference site, the
+  * 4-5 s battery entry r7 measured), collect sorted-distinct minima.
+  * Gram hex strings are lowercase ASCII, so UTF8String binary order ==
+  * the builtins' string order; a doc with grams but fewer than `win` of
+  * them contributes its global minimum; no grams -> empty array (explode
+  * drops the doc identically).
+  */
+case class Winnow(child: Expression, k: Int, win: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow expects array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+
+  private val hexChars = "0123456789abcdef".getBytes
+
+  override protected def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[AnyRef])
+    val words = ShingleDigest.wordBytes(arr)
+    val md = ShingleDigest.md()
+    val nGrams = n - k + 1
+    val grams = new Array[UTF8String](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val d = ShingleDigest.digestShingle(md, words, i, k)
+      val hex = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hex(b * 2) = hexChars((d(b) >> 4) & 0xf)
+        hex(b * 2 + 1) = hexChars(d(b) & 0xf)
+        b += 1
+      }
+      grams(i) = UTF8String.fromBytes(hex)
+      i += 1
+    }
+    val out = new java.util.TreeSet[UTF8String]()
+    val dq = new java.util.ArrayDeque[Int]()
+    i = 0
+    while (i < nGrams) {
+      while (!dq.isEmpty && grams(dq.peekLast()).compareTo(grams(i)) >= 0)
+        dq.pollLast()
+      dq.addLast(i)
+      if (i >= win - 1) {
+        while (dq.peekFirst() <= i - win) dq.pollFirst()
+        out.add(grams(dq.peekFirst()))
+      }
+      i += 1
+    }
+    // fewer grams than the window: the global minimum (deque front)
+    if (nGrams < win) out.add(grams(dq.peekFirst()))
+    val res = new Array[AnyRef](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { res(j) = it.next(); j += 1 }
+    new GenericArrayData(res)
+  }
+}
+
 /** Fused shingle -> MinHash band signatures: `graft_shingle_sigs(w, k,
   * bands, rows)` == the whole builtins chain `array_distinct(shingles(w,k))
   * -> minhashHashes -> minhashBandsFromHashes` bit for bit (OpsSpec gates

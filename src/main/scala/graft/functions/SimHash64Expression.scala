@@ -212,6 +212,10 @@ object GraftFunctions {
         new ExpressionInfo(classOf[ShingleSigs].getName, "graft_shingle_sigs"),
         (exprs: Seq[Expression]) => ShingleSigs(exprs.head, litInt(exprs(1), "k"),
           litInt(exprs(2), "bands"), litInt(exprs(3), "rows"))),
+      (FunctionIdentifier("graft_winnow"),
+        new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
+        (exprs: Seq[Expression]) => Winnow(exprs.head, litInt(exprs(1), "k"),
+          litInt(exprs(2), "win"))),
       (FunctionIdentifier("graft_cms"),
         new ExpressionInfo(classOf[CmsSketch].getName, "graft_cms"),
         // an AggregateFunction from the registry is wrapped in its

@@ -57,8 +57,21 @@ object TextOps {
     * strings compare identically in every engine). Documents with fewer
     * than `w` k-grams contribute one fingerprint (the global min).
     */
-  def winnowFingerprints(words: Column, k: Int, w: Int): Column = {
-    val grams = transform(Dedup.shingles(words, k), g => md5(g))
+  def winnowFingerprints(words: Column, k: Int, w: Int): Column =
+    winnowFromGramHashes(transform(Dedup.shingles(words, k), g => md5(g)), w)
+
+  /** [[winnowFingerprints]] over an ALREADY-HASHED gram array. Split out so
+    * pipelines can alias the gram hashes as their own projected column
+    * before windowing (r7): `grams` is referenced at size/slice/array_min
+    * sites inside interpreted-eval HOF lambdas, where Catalyst performs no
+    * common-subexpression elimination — an inlined gram expression re-runs
+    * the full shingle+digest pass once per window per row (the O(words·w·
+    * words) blowup measured as q_winnow's 4-5 s battery entry; same hazard
+    * class as Dedup.bandedProjection's `_w`/`_hs` aliases). A multi-
+    * referenced non-cheap alias is exactly what CollapseProject keeps
+    * materialized.
+    */
+  def winnowFromGramHashes(grams: Column, w: Int): Column = {
     val nWin = size(grams) - (w - 1)
     when(nWin >= 1,
       array_sort(array_distinct(transform(sequence(lit(1), nWin),

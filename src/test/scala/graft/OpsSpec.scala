@@ -185,6 +185,32 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getInt(1) >= 1, s"pair ${r.getInt(0)} shares no fingerprint"))
   }
 
+  test("native graft_winnow == builtins winnowFingerprints, element for element") {
+    import org.apache.spark.sql.functions.{call_function, lit}
+    graft.functions.GraftFunctions.register(spark)
+    val k = 3; val w = 4
+    val rng = new scala.util.Random(11)
+    val cases = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(1 + rng.nextInt(60))("t" + rng.nextInt(20)).mkString(" "))) ++
+      Seq(
+        (100L, ""), // one empty word -> no grams -> empty array
+        (101L, "a b"), // fewer than k words -> empty array
+        (102L, "a b c"), // exactly one gram (< w windows) -> global min
+        (103L, "a b c d e"), // grams < w -> global min
+        (104L, "x x x x x x x x x x"), // all-identical grams (dedup path)
+        (105L, "the quick brown fox jumps over the lazy dog near the bank"))
+    val rows = cases.toDF("id", "text")
+      .withColumn("w", split($"text", " "))
+      .select($"id",
+        graft.ops.TextOps.winnowFingerprints($"w", k, w).as("ref"),
+        call_function("graft_winnow", $"w", lit(k), lit(w)).as("got"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"id ${r.getLong(0)}: native winnow must match builtins")
+    }
+  }
+
   test("native graft_hash64 == builtins tokenHash64, bit for bit") {
     // the native form skips the hex-string intermediate on the hot gram
     // streams (SubstringDedup, Decontaminate) — it must agree with the
