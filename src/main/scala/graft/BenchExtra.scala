@@ -8,6 +8,33 @@ package graft
   *
   * Usage: runMain graft.BenchExtra <tag> [sfDir] [q1,q2,...]
   */
+/** Builds the QueryScalingBench corpus/index ONCE into a fixed dir so
+  * kernel-optimization iterations can re-run `QueryScalingBench qleg <cores>
+  * <dir> <batch>` legs without paying the 1.6M-doc build each time.
+  * Usage: runMain graft.QScaleIndex <dir> [nDocs]
+  */
+object QScaleIndex {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val nDocs = args.lift(1).map(_.toLong).getOrElse(1600000L)
+    val spark = Bench.newSession("32")
+    try {
+      import spark.implicits._
+      val src = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "qsrc").toString
+      graft.corpus.CodeCorpus.generate(spark, nDocs, nRepos = 100, partitions = 64)
+        .write.mode("overwrite").parquet(src)
+      graft.index.IndexBuilder.build(spark,
+        spark.read.parquet(src).as[graft.core.CodeDoc], dir,
+        graft.index.IndexConfig(buckets = 64, saltRange = 8192,
+          shufflePartitions = 64, bucketDirs = true))
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(src)).deleteRecursively()
+      println(s"index at $dir")
+    } finally spark.stop()
+  }
+}
+
 object BenchExtra {
   val DefaultQueries: Seq[String] = Seq(
     "q_year_expand", "q_anti_join", "q_semi_join", "q_multiway_join",

@@ -40,13 +40,49 @@ object QueryPlan {
   }
 }
 
+/** Per-(field, term) decoded-block cache, shared by every query of a BATCH
+  * that touches the term within one task (r7, guide §1.2 per-task work —
+  * found by StageMetrics on the 32-core QueryScalingBench leg: a 1024-query
+  * batch over a ~25-term vocabulary decoded the SAME blocks ~80× per salt
+  * task; decode was the dominant share of 153 task-CPU-seconds/run).
+  * Blocks decode LAZILY on first touch — a block every query WAND-skips is
+  * never decoded at all — and the decoded arrays are shared read-only by
+  * all plans' iterators. Single-task use (one thread); bit-identical decode
+  * output by construction (same Codec calls).
+  */
+final class DecodedBlocks(val blocks: Array[PostingBlock]) {
+  private val docsArr = new Array[Array[Long]](blocks.length)
+  private val tfsArr = new Array[Array[Int]](blocks.length)
+  def docsOf(bi: Int): Array[Long] = {
+    var a = docsArr(bi)
+    if (a == null) {
+      val b = blocks(bi)
+      a = Codec.decodeDocIds(b.docsDelta, b.n)
+      docsArr(bi) = a
+    }
+    a
+  }
+  def tfsOf(bi: Int): Array[Int] = {
+    var a = tfsArr(bi)
+    if (a == null) {
+      val b = blocks(bi)
+      a = Codec.decodeTfs(b.tfs, b.n)
+      tfsArr(bi) = a
+    }
+    a
+  }
+}
+
 /** Lazy block-at-a-time posting iterator over one (field, term)'s runs within
   * one salt range. Runs arrive salt-sorted; blocks decode on demand — the
   * block-skipping entry points (`skipTo`, block lastDoc metadata) are what
-  * block-max WAND prunes with.
+  * block-max WAND prunes with. With a shared [[DecodedBlocks]] cache (batch
+  * kernel), positioning reads the cache's decoded arrays instead of decoding
+  * into the private buffers.
   */
-final class PostingIterator(runs: Array[PostingRun]) {
-  private val blocks: Array[PostingBlock] = runs.sortBy(_.salt).flatMap(_.blocks)
+final class PostingIterator(runs: Array[PostingRun], cache: DecodedBlocks = null) {
+  private val blocks: Array[PostingBlock] =
+    if (cache != null) cache.blocks else runs.sortBy(_.salt).flatMap(_.blocks)
   private var bi = 0 // current block
   private var i = 0 // position within decoded block
   private var len = 0 // postings in the current block
@@ -59,19 +95,25 @@ final class PostingIterator(runs: Array[PostingRun]) {
   // scans THROUGH many blocks by docId without ever reading a tf, so the
   // tf varint pass is paid only by blocks that actually score.
   private val maxN: Int = {
-    var m = 0; var k = 0
-    while (k < blocks.length) { if (blocks(k).n > m) m = blocks(k).n; k += 1 }
-    m
+    if (cache != null) 0
+    else {
+      var m = 0; var k = 0
+      while (k < blocks.length) { if (blocks(k).n > m) m = blocks(k).n; k += 1 }
+      m
+    }
   }
-  private val docs: Array[Long] = new Array[Long](maxN)
-  private val tfs: Array[Int] = new Array[Int](maxN)
+  private val docsBuf: Array[Long] = new Array[Long](maxN)
+  private val tfsBuf: Array[Int] = new Array[Int](maxN)
+  private var docs: Array[Long] = docsBuf
+  private var tfs: Array[Int] = tfsBuf
   private var tfsDecoded = false
   decodeCurrent()
 
   private def decodeCurrent(): Unit = {
     if (bi < blocks.length) {
       val b = blocks(bi)
-      Codec.decodeDocIdsInto(b.docsDelta, b.n, docs)
+      if (cache != null) docs = cache.docsOf(bi)
+      else Codec.decodeDocIdsInto(b.docsDelta, b.n, docsBuf)
       len = b.n
       tfsDecoded = false
       i = 0
@@ -82,7 +124,8 @@ final class PostingIterator(runs: Array[PostingRun]) {
   def curDoc: Long = docs(i)
   def curTf: Int = {
     if (!tfsDecoded) {
-      Codec.decodeTfsInto(blocks(bi).tfs, len, tfs)
+      if (cache != null) tfs = cache.tfsOf(bi)
+      else Codec.decodeTfsInto(blocks(bi).tfs, len, tfsBuf)
       tfsDecoded = true
     }
     tfs(i)
@@ -682,6 +725,13 @@ class Searcher(spark: SparkSession, indexDir: String) {
           val bc = normsBc
           val tsBc = tombstonesBc
           val fqB = fqBcOpt // local val: the closure must not capture `this`
+          // r7 note: a plan-chunked variant (split the batch's plans across
+          // (chunk, salt) tasks to smooth the 2.8× max/median salt-collision
+          // tail, guide §2.6) was built and MEASURED WORSE here — 245.8 →
+          // 238.0 q/s at 32 cores: duplicating the run stream per chunk
+          // forfeits the per-task shared-decode cache (task CPU 80 → 86 s)
+          // and the packing gain never covered it. Reverted; the one-task-
+          // per-salt-hash shape stands.
           Searcher.gatedJob {
             filteredRuns(allKeys, batch = true)
               .groupByKey(_.salt)
@@ -984,14 +1034,25 @@ object Searcher {
     if (runs.isEmpty) Iterator.empty
     else {
       val byKey = runs.groupBy(r => (r.field, r.term))
+      // ONE decoded-block cache per (field, term) for the WHOLE batch:
+      // queries sharing a term share the decode (lazily, block-at-a-time —
+      // blocks every query skips never decode). Without this, each of the
+      // batch's plans re-decoded the shared head terms' blocks from
+      // scratch (measured ~80× redundant decode per salt task at batch
+      // 1024 over the bench vocabulary).
+      val decCache: Map[(String, String), DecodedBlocks] =
+        byKey.map { case (key, rs) =>
+          key -> new DecodedBlocks(rs.sortBy(_.salt).flatMap(_.blocks))
+        }
       plans.iterator.flatMap { p =>
-        val qRuns = p.idfMap.keysIterator.flatMap(byKey.get).flatten.toArray
-        if (qRuns.isEmpty) Iterator.empty
-        else Kernel.scoreSalt(qRuns, quantLenOf, p.clauses, fields, p.idfMap,
-          avgLen, p.minMatch, k, deleted).map(h => (p.qi, h))
+        if (!p.idfMap.keysIterator.exists(byKey.contains)) Iterator.empty
+        else Kernel.scoreSalt(EmptyRuns, quantLenOf, p.clauses, fields, p.idfMap,
+          avgLen, p.minMatch, k, deleted, decCache, byKey).map(h => (p.qi, h))
       }
     }
   }
+
+  private val EmptyRuns: Array[PostingRun] = Array.empty
 
   /** Shared bounded pool for [[Searcher.searchMany]]'s per-query kernel
     * fan-out, sized to the driver's cores (the kernels are CPU-bound).
@@ -1015,6 +1076,32 @@ object Searcher {
   */
 object Kernel extends Serializable {
 
+  /** One posting iterator per (clause, field); duplicate (field, term) pairs
+    * get independent iterators (Lucene scores duplicate clauses
+    * independently). Object-level (not a per-call local class) so the WAND
+    * sort comparator below can be ONE shared instance instead of a lambda
+    * allocated per scoreSalt call — the batch kernel calls scoreSalt
+    * ~batch × saltGroups times per job.
+    */
+  private final class Leg(val clauseIdx: Int, val fi: Int, val idf: Double,
+                          val it: PostingIterator, val ub: Double) {
+    // current block's upper bound, cached per block index (the shallow
+    // bound is consulted once per pivot round; blocks advance rarely)
+    private var ubBlockIdx = -1
+    private var ubBlock = 0.0
+    def blockUb(avg: Double): Double = {
+      val b = it.curBlockIndex
+      if (b != ubBlockIdx) {
+        ubBlockIdx = b
+        ubBlock = BM25.maxTermScore(idf, it.curBlockMaxTf, it.curBlockMinQuantLen, avg)
+      }
+      ubBlock
+    }
+  }
+
+  private val LegByDoc: java.util.Comparator[Leg] =
+    (a: Leg, b: Leg) => java.lang.Long.compare(a.it.curDoc, b.it.curDoc)
+
   /** Score all postings of one salt range. `runs` must all share one salt.
     * `quantLenOf(fieldIdx, docId)` returns the SmallFloat-quantized length.
     */
@@ -1027,29 +1114,19 @@ object Kernel extends Serializable {
       avgLen: Map[String, Double],
       minMatch: Int,
       k: Int,
-      deleted: Long => Boolean = _ => false): Iterator[Hit] = {
+      deleted: Long => Boolean = _ => false,
+      decCache: Map[(String, String), DecodedBlocks] = null,
+      byKeyPre: Map[(String, String), Array[PostingRun]] = null): Iterator[Hit] = {
 
-    val byKey = runs.groupBy(r => (r.field, r.term))
+    // byKeyPre: the batch kernel passes ONE prebuilt (field, term) lookup
+    // for the whole salt group instead of re-grouping per plan (the groupBy
+    // allocated tuples + maps batch × saltGroups times per job)
+    val byKey =
+      if (byKeyPre != null) byKeyPre else runs.groupBy(r => (r.field, r.term))
     if (byKey.isEmpty) return Iterator.empty
     val fieldIdx: Map[String, Int] = fields.zipWithIndex.toMap
     val avgArr: Array[Double] = fields.map(avgLen)
 
-    // one posting iterator per (clause, field); duplicate (field, term) pairs
-    // get independent iterators (Lucene scores duplicate clauses independently)
-    case class Leg(clauseIdx: Int, fi: Int, idf: Double, it: PostingIterator, ub: Double) {
-      // current block's upper bound, cached per block index (the shallow
-      // bound is consulted once per pivot round; blocks advance rarely)
-      private var ubBlockIdx = -1
-      private var ubBlock = 0.0
-      def blockUb(avg: Double): Double = {
-        val b = it.curBlockIndex
-        if (b != ubBlockIdx) {
-          ubBlockIdx = b
-          ubBlock = BM25.maxTermScore(idf, it.curBlockMaxTf, it.curBlockMinQuantLen, avg)
-        }
-        ubBlock
-      }
-    }
     val legs = mutable.ArrayBuffer.empty[Leg]
     var ci = 0
     while (ci < clauses.length) {
@@ -1061,7 +1138,8 @@ object Kernel extends Serializable {
             val maxTf = rs.map(_.maxTf).max
             val minQL = rs.flatMap(_.blocks).map(_.minQuantLen).min
             val ub = BM25.maxTermScore(idf, maxTf, minQL, avgLen(f))
-            legs += Leg(ci, fieldIdx(f), idf, new PostingIterator(rs), ub)
+            val cached = if (decCache != null) decCache.getOrElse(key, null) else null
+            legs += new Leg(ci, fieldIdx(f), idf, new PostingIterator(rs, cached), ub)
           case _ =>
         }
       }
@@ -1091,17 +1169,31 @@ object Kernel extends Serializable {
     //      (mm gate applies at scoring); otherwise skipTo(pivot) the legs
     //      before it — whole blocks are skipped via their lastDoc metadata
     //      ([[PostingIterator.skipTo]]), which is the "block-max" part.
-    var live = legs.toArray.filter(!_.it.exhausted)
-    var done = live.isEmpty
+    // r7: the live-leg set is managed IN PLACE (length `liveLen`, compacted
+    // only when a leg exhausts) — the previous `live.filter(...)` per round
+    // allocated a fresh array every WAND round (hundreds of millions of
+    // allocations per 1024-query batch; StageMetrics showed ~10 GC-s per
+    // timed leg), and the sort comparator is a shared static instead of a
+    // per-call lambda.
+    val live = legs.toArray
+    var liveLen = live.length
+    locally {
+      var w = 0; var r = 0
+      while (r < liveLen) {
+        if (!live(r).it.exhausted) { live(w) = live(r); w += 1 }
+        r += 1
+      }
+      liveLen = w
+    }
+    var done = liveLen == 0
     while (!done) {
-      java.util.Arrays.sort(live, (a: Leg, b: Leg) =>
-        java.lang.Long.compare(a.it.curDoc, b.it.curDoc))
+      java.util.Arrays.sort(live, 0, liveLen, LegByDoc)
       val theta = top.threshold
       // pivot = first prefix (always at least one leg) whose summed upper
       // bounds exceed theta
       var acc = live(0).ub
       var p = 1
-      while (p < live.length && !(acc > theta)) { acc += live(p).ub; p += 1 }
+      while (p < liveLen && !(acc > theta)) { acc += live(p).ub; p += 1 }
       if (!(acc > theta)) done = true // even all remaining legs can't beat theta
       else {
         val pivotDoc = live(p - 1).it.curDoc
@@ -1122,7 +1214,7 @@ object Kernel extends Serializable {
         var bs = 0.0
         var contained = Long.MaxValue // min lastDoc among pivot-containing blocks
         var si = 0
-        while (si < live.length && live(si).it.curDoc <= pivotDoc) {
+        while (si < liveLen && live(si).it.curDoc <= pivotDoc) {
           val leg = live(si)
           if (leg.it.curBlockLastDoc >= pivotDoc) {
             bs += leg.blockUb(avgArr(leg.fi))
@@ -1131,7 +1223,7 @@ object Kernel extends Serializable {
           si += 1
         }
         if (contained != Long.MaxValue && !(bs > theta)) {
-          val nextLegDoc = if (si < live.length) live(si).it.curDoc else Long.MaxValue
+          val nextLegDoc = if (si < liveLen) live(si).it.curDoc else Long.MaxValue
           val spanEnd =
             if (nextLegDoc == Long.MaxValue) contained
             else math.min(contained, nextLegDoc - 1)
@@ -1139,7 +1231,7 @@ object Kernel extends Serializable {
           // nextLegDoc > pivot by the sort), so this always advances
           val next = spanEnd + 1
           var li = 0
-          while (li < live.length && live(li).it.curDoc < next) {
+          while (li < liveLen && live(li).it.curDoc < next) {
             live(li).it.skipTo(next)
             li += 1
           }
@@ -1149,7 +1241,7 @@ object Kernel extends Serializable {
           var score = 0.0
           java.util.Arrays.fill(clauseTouched, false)
           var li = 0
-          while (li < live.length && live(li).it.curDoc == pivotDoc) {
+          while (li < liveLen && live(li).it.curDoc == pivotDoc) {
             val leg = live(li)
             val norm = BM25.lengthNorm(quantLenOf(leg.fi, pivotDoc), avgArr(leg.fi))
             perClausePerField(leg.clauseIdx)(leg.fi) =
@@ -1170,20 +1262,26 @@ object Kernel extends Serializable {
           // top-k never under-fills because deleted docs held slots
           if (matched >= minMatch && !deleted(pivotDoc)) top.offer(Hit(pivotDoc, score))
           li = 0
-          while (li < live.length && live(li).it.curDoc == pivotDoc) {
+          while (li < liveLen && live(li).it.curDoc == pivotDoc) {
             live(li).it.advance()
             li += 1
           }
         } else {
           // advance the legs below the pivot up to it (block-skipping)
           var li = 0
-          while (li < live.length && live(li).it.curDoc < pivotDoc) {
+          while (li < liveLen && live(li).it.curDoc < pivotDoc) {
             live(li).it.skipTo(pivotDoc)
             li += 1
           }
         }
-        live = live.filter(!_.it.exhausted)
-        if (live.isEmpty) done = true
+        // in-place compaction of exhausted legs — no per-round allocation
+        var w2 = 0; var r2 = 0
+        while (r2 < liveLen) {
+          if (!live(r2).it.exhausted) { live(w2) = live(r2); w2 += 1 }
+          r2 += 1
+        }
+        liveLen = w2
+        if (liveLen == 0) done = true
       }
     }
     top.sortedHits.iterator
