@@ -51,23 +51,29 @@ object QueryPlan {
   * output by construction (same Codec calls).
   */
 final class DecodedBlocks(val blocks: Array[PostingBlock]) {
-  private val docsArr = new Array[Array[Long]](blocks.length)
-  private val tfsArr = new Array[Array[Int]](blocks.length)
+  // AtomicReferenceArray: the DRIVER batch path (searchMany) shares one
+  // cache across kernelPool threads — the race is benign (two threads
+  // decode identical content; volatile set publishes a fully-written
+  // array), and the volatile read is per BLOCK entry, not per posting
+  private val docsArr =
+    new java.util.concurrent.atomic.AtomicReferenceArray[Array[Long]](blocks.length)
+  private val tfsArr =
+    new java.util.concurrent.atomic.AtomicReferenceArray[Array[Int]](blocks.length)
   def docsOf(bi: Int): Array[Long] = {
-    var a = docsArr(bi)
+    var a = docsArr.get(bi)
     if (a == null) {
       val b = blocks(bi)
       a = Codec.decodeDocIds(b.docsDelta, b.n)
-      docsArr(bi) = a
+      docsArr.set(bi, a)
     }
     a
   }
   def tfsOf(bi: Int): Array[Int] = {
-    var a = tfsArr(bi)
+    var a = tfsArr.get(bi)
     if (a == null) {
       val b = blocks(bi)
       a = Codec.decodeTfs(b.tfs, b.n)
-      tfsArr(bi) = a
+      tfsArr.set(bi, a)
     }
     a
   }
@@ -600,7 +606,9 @@ class Searcher(spark: SparkSession, indexDir: String) {
     * groupByKey of the term-filtered runs (tiny shuffle; docstats never move).
     */
   def searchBroadcast(query: String, k: Int, fields: Seq[String] = DefaultFields,
-                      fqBc: Option[Broadcast[Array[Long]]] = None): Array[Hit] = {
+                      fqBc: Option[Broadcast[Array[Long]]] = None,
+                      sharedDec: java.util.concurrent.ConcurrentHashMap[
+                        (Int, String, String), DecodedBlocks] = null): Array[Hit] = {
     plan(query, fields) match {
       case None => Array.empty
       case Some((cls, idfMap, minMatch, postings)) =>
@@ -610,9 +618,19 @@ class Searcher(spark: SparkSession, indexDir: String) {
           val nt = normsBc.value // local value; no broadcast needed on driver
           val runs = fetchRuns(idfMap.keySet)
           val excl = Searcher.excludedFn(tombstonesBc.value, fqBc.map(_.value).orNull)
-          val localHits = runs.groupBy(_.salt).valuesIterator.flatMap { rs =>
+          val localHits = runs.groupBy(_.salt).iterator.flatMap { case (salt, rs) =>
+            // batch calls (searchMany) pass a per-call shared decode cache:
+            // the batch's queries share head terms, so each (salt, field,
+            // term)'s blocks decode once for the whole batch instead of
+            // once per query (the distributed path's scoreBatch analog)
+            val dec =
+              if (sharedDec == null) null
+              else rs.groupBy(r => (r.field, r.term)).map { case (k2, arr) =>
+                k2 -> sharedDec.computeIfAbsent((salt, k2._1, k2._2),
+                  _ => new DecodedBlocks(arr.sortBy(_.salt).flatMap(_.blocks)))
+              }
             Kernel.scoreSalt(rs, (fi, d) => nt.quantLen(fi, d),
-              cls, fieldArr, idfMap, avgLen, minMatch, k, excl)
+              cls, fieldArr, idfMap, avgLen, minMatch, k, excl, dec)
           }.toArray
           merge(localHits, k)
         } else {
@@ -657,10 +675,14 @@ class Searcher(spark: SparkSession, indexDir: String) {
     // norm table / tombstone array those bounds exist to keep distributed
     val broadcastRegime =
       meta.nDocs <= NormsMaxDocs && tombstoneCount <= TombstonesMaxBroadcast
+    // ONE decode cache for the whole batch (thread-safe; kernels fan out
+    // over kernelPool): queries sharing terms share the block decode
+    val sharedDec = new java.util.concurrent.ConcurrentHashMap[
+      (Int, String, String), DecodedBlocks]()
     def one(q: String): Array[Hit] =
       if (!broadcastRegime || (fq.isDefined && fqBc.isEmpty))
         searchShuffle(q, k, fields, fq)
-      else searchBroadcast(q, k, fields, fqBc)
+      else searchBroadcast(q, k, fields, fqBc, sharedDec)
     val prefetch =
       if (!broadcastRegime) Set.empty[(String, String)]
       else queries.flatMap(q => plan(q, fields)).flatMap {
