@@ -31,9 +31,11 @@ object Tombstones {
     * bound ([[graft.query.Searcher.TombstonesMaxBroadcast]] = 2^23), so the
     * worst-case count inflation from never-deduped re-deletes is 12.5% of
     * the threshold — routing exactness is preserved where it matters.
-    * `var` as a test seam (IndexOpsSpec pins both regimes).
+    * `var` as a test seam (IndexOpsSpec pins both regimes); @volatile so a
+    * commit racing a concurrent mutation reads a coherent value instead of
+    * flipping dedup/skip behavior non-deterministically (ADVICE r6).
     */
-  var DedupSkipBound: Long = (1L << 23) / 8
+  @volatile var DedupSkipBound: Long = (1L << 23) / 8
 
 
   /** Visible tombstone files per the CURRENT snapshot (not just ls — a
