@@ -601,6 +601,13 @@ class Searcher(spark: SparkSession, indexDir: String) {
     */
   var DriverKernelMaxPostings: Long = 4L << 20
 
+  /** Cap on a batch's summed planned postings below which [[searchMany]]
+    * shares one decoded-block cache across the batch (decoded arrays are
+    * ~6× the packed bytes and live for the call; ~64M postings ≈ 1 GB
+    * decoded worst case). Mutable test seam.
+    */
+  @volatile var SharedDecodeMaxPostings: Long = 64L << 20
+
   /** Default strategy: broadcast norms; runs are co-located BY SALT either on
     * the driver (small queries: one collect job, no shuffle at all) or via a
     * groupByKey of the term-filtered runs (tiny shuffle; docstats never move).
@@ -676,9 +683,18 @@ class Searcher(spark: SparkSession, indexDir: String) {
     val broadcastRegime =
       meta.nDocs <= NormsMaxDocs && tombstoneCount <= TombstonesMaxBroadcast
     // ONE decode cache for the whole batch (thread-safe; kernels fan out
-    // over kernelPool): queries sharing terms share the block decode
-    val sharedDec = new java.util.concurrent.ConcurrentHashMap[
-      (Int, String, String), DecodedBlocks]()
+    // over kernelPool): queries sharing terms share the block decode.
+    // Memory bound: decoded arrays are ~6× the packed bytes and live for
+    // the whole call, so the cache is only used when the batch's SUMMED
+    // planned postings (an overcount — shared terms count once per query,
+    // so the guard is conservative) stay under a driver-safe cap.
+    val plannedPostings = queries.iterator
+      .flatMap(q => plan(q, fields)).map(_._4).sum
+    val sharedDec =
+      if (plannedPostings <= SharedDecodeMaxPostings)
+        new java.util.concurrent.ConcurrentHashMap[
+          (Int, String, String), DecodedBlocks]()
+      else null
     def one(q: String): Array[Hit] =
       if (!broadcastRegime || (fq.isDefined && fqBc.isEmpty))
         searchShuffle(q, k, fields, fq)
